@@ -1,0 +1,167 @@
+"""Multi-head attention: XLA reference path + Pallas flash-attention kernel.
+
+The encoder's attention replaces the HF/PyTorch SDPA used by the reference's
+wav2vec2 backbone (reference models/w2v2_pr.py:28-33, models/aptai.py:33-38).
+Design:
+
+* :func:`multi_head_attention` is the public op.  Forward runs the Pallas
+  flash kernel on TPU (online-softmax, O(T) memory, K/V resident in VMEM,
+  never materializing the (T, T) matrix in HBM); on CPU or for odd shapes it
+  falls back to a plain XLA einsum implementation.
+* The backward pass (``jax.custom_vjp``) recomputes attention with XLA ops.
+  At speech-encoder sequence lengths (≤ a few thousand 20 ms frames) the
+  rematerialized (T, T) matrix fits comfortably, the MXU stays busy, and we
+  keep exact gradients without a hand-written flash backward.
+* Padding is handled with explicit per-sequence key lengths — the correct
+  replacement for the reference's lengths-as-attention-mask quirk
+  (reference models/w2v2_pr.py:49; see SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+_Q_BLOCK = 128
+_K_BLOCK = 128
+
+
+def _xla_attention(q, k, v, lengths):
+    """Reference attention. q,k,v: (B, T, H, D); lengths: (B,) or None."""
+    d = q.shape[-1]
+    scale = 1.0 / (d ** 0.5)
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if lengths is not None:
+        t_k = k.shape[1]
+        mask = jnp.arange(t_k)[None, :] < lengths[:, None]  # (B, Tk)
+        logits = jnp.where(mask[:, None, None, :], logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, scale, t_padded):
+    """One (batch·head, q-block) tile of flash attention.
+
+    q_ref: (BQ, D); k_ref/v_ref: (T, D) in VMEM; len_ref: (1,) SMEM.
+    """
+    length = len_ref[0]
+    q = q_ref[:].astype(jnp.float32) * scale
+    bq, d = q.shape
+    num_k_blocks = t_padded // _K_BLOCK
+
+    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc0 = jnp.zeros((bq, d), jnp.float32)
+
+    def body(i, carry):
+        m, l, acc = carry
+        kb = k_ref[pl.ds(i * _K_BLOCK, _K_BLOCK), :].astype(jnp.float32)
+        vb = v_ref[pl.ds(i * _K_BLOCK, _K_BLOCK), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, kb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (BQ, BK)
+        col = i * _K_BLOCK + jax.lax.broadcasted_iota(
+            jnp.int32, (bq, _K_BLOCK), 1
+        )
+        s = jnp.where(col < length, s, NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, vb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return m_new, l, acc
+
+    m, l, acc = jax.lax.fori_loop(0, num_k_blocks, body, (m0, l0, acc0))
+    o_ref[:] = (acc / jnp.where(l == 0, 1.0, l)).astype(o_ref.dtype)
+
+
+def flash_attention(q, k, v, lengths=None):
+    """Pallas flash attention. q,k,v: (B, T, H, D); lengths: (B,) int32.
+
+    K/V for the current (batch, head) stay in VMEM; the query axis is tiled
+    by 128; the softmax runs online per key block (never materializes T×T).
+    """
+    b, t, h, d = q.shape
+    scale = 1.0 / (d ** 0.5)
+    if lengths is None:
+        lengths = jnp.full((b,), t, jnp.int32)
+    t_padded = _round_up(t, max(_Q_BLOCK, _K_BLOCK))
+    pad = t_padded - t
+
+    def to_bh(x):  # (B, T, H, D) -> (B*H, Tp, D)
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        return x.transpose(0, 2, 1, 3).reshape(b * h, t_padded, d)
+
+    qf, kf, vf = to_bh(q), to_bh(k), to_bh(v)
+    lens_bh = jnp.repeat(lengths.astype(jnp.int32), h)
+
+    grid = (b * h, t_padded // _Q_BLOCK)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, t_padded=t_padded),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1,), lambda i, j: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, _Q_BLOCK, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, t_padded, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, t_padded, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, _Q_BLOCK, d), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, t_padded, d), q.dtype),
+    )(lens_bh, qf, kf, vf)
+
+    out = out.reshape(b, h, t_padded, d).transpose(0, 2, 1, 3)
+    return out[:, :t]
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def multi_head_attention(q, k, v, lengths):
+    """Length-masked scaled-dot-product MHA over (B, T, H, D) tensors.
+
+    Flash (Pallas) forward on TPU, XLA elsewhere; XLA-recompute backward.
+    ``lengths`` may be None for dense attention.
+    """
+    if _on_tpu() and q.shape[-1] <= 256:
+        return flash_attention(q, k, v, lengths)
+    return _xla_attention(q, k, v, lengths)
+
+
+def _mha_fwd(q, k, v, lengths):
+    return multi_head_attention(q, k, v, lengths), (q, k, v, lengths)
+
+
+def _mha_bwd(res, g):
+    q, k, v, lengths = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_attention(q_, k_, v_, lengths),
+                     q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+multi_head_attention.defvjp(_mha_fwd, _mha_bwd)

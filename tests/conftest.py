@@ -1,0 +1,33 @@
+"""Test configuration: force an 8-device virtual CPU platform.
+
+All tests run on CPU-JAX with 8 virtual devices so that multi-chip sharding
+paths (data/tensor parallel) are exercised without TPU hardware — the
+TPU-native analog of multi-node simulation (SURVEY.md §4).
+"""
+
+import os
+
+# The container's sitecustomize force-registers the axon TPU plugin and the
+# env pins JAX_PLATFORMS=axon, so a plain env override is not enough — set
+# the platform through jax.config before any backend is initialized.
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+assert jax.default_backend() == "cpu", "tests must run on the virtual CPU mesh"
+assert jax.device_count() == 8
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
