@@ -1,0 +1,105 @@
+"""Model configuration dataclasses.
+
+``Wav2Vec2Config`` mirrors the subset of the HF wav2vec2 configuration the
+reference relies on (reference train/train_phoneme_recognizer.py:336-347
+builds an HF config dict and overrides vocab_size / final_dropout /
+num_hidden_layers / ctc fields / conv_stride).  Defaults correspond to
+``facebook/wav2vec2-large-robust`` — the production backbone of the
+reference (reference train/start_train_phoneme_recognizer.sh) — which is
+architecturally identical to ``wav2vec2-large-xlsr-53`` (the code default,
+train_phoneme_recognizer.py:166): 24 pre-norm transformer layers, hidden
+1024, 16 heads, FFN 4096, layer-norm conv feature extractor.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class Wav2Vec2Config:
+    # transformer encoder
+    hidden_size: int = 1024
+    num_hidden_layers: int = 24
+    num_attention_heads: int = 16
+    intermediate_size: int = 4096
+    do_stable_layer_norm: bool = True  # pre-norm ("stable") variant
+
+    # conv feature extractor (~49 frames/s; reference contract
+    # train/train_phoneme_recognizer.py:161-164)
+    conv_dim: Tuple[int, ...] = (512,) * 7
+    conv_kernel: Tuple[int, ...] = (10, 3, 3, 3, 3, 2, 2)
+    conv_stride: Tuple[int, ...] = (5, 2, 2, 2, 2, 2, 2)
+    conv_bias: bool = True
+    feat_extract_norm: str = "layer"  # "layer" (large) | "group" (base)
+
+    # convolutional relative positional embedding
+    num_conv_pos_embeddings: int = 128
+    num_conv_pos_embedding_groups: int = 16
+
+    # dropout / regularization
+    hidden_dropout: float = 0.1
+    activation_dropout: float = 0.1
+    attention_dropout: float = 0.1
+    feat_proj_dropout: float = 0.1
+    final_dropout: float = 0.1  # PR head dropout (w2v2_pr.py:35)
+    layerdrop: float = 0.0  # disabled: layer-drop breaks pjit static structure
+
+    # SpecAugment-style masking (active in HF during model.train(); the
+    # reference therefore trains with it implicitly)
+    apply_spec_augment: bool = True
+    mask_time_prob: float = 0.05
+    mask_time_length: int = 10
+    mask_time_min_masks: int = 2
+    mask_feature_prob: float = 0.0
+    mask_feature_length: int = 10
+    mask_feature_min_masks: int = 0
+
+    # CTC head (reference train/train_phoneme_recognizer.py:339-344)
+    vocab_size: int = 46
+    blank_id: int = 0
+    ctc_loss_reduction: str = "mean"
+    ctc_zero_infinity: bool = True
+
+    # numerics
+    layer_norm_eps: float = 1e-5
+    dtype: str = "float32"  # compute dtype: "float32" | "bfloat16"
+
+    def with_ten_ms(self) -> "Wav2Vec2Config":
+        """10 ms frame-rate variant: final conv stride 2 → 1
+        (reference train/train_phoneme_recognizer.py:345-346)."""
+        return dataclasses.replace(
+            self, conv_stride=self.conv_stride[:-1] + (1,)
+        )
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    def feat_extract_output_lengths(self, input_lengths):
+        """Conv-stack output length: floor((L - k) / s) + 1 per layer
+        (HF ``_get_feat_extract_output_lengths`` semantics used at
+        reference models/w2v2_pr.py:57)."""
+        lengths = input_lengths
+        for k, s in zip(self.conv_kernel, self.conv_stride):
+            lengths = (lengths - k) // s + 1
+        return lengths
+
+
+def tiny_config(**overrides) -> Wav2Vec2Config:
+    """A small config for tests: same topology, tiny dims."""
+    base = dict(
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=64,
+        conv_dim=(16,) * 3,
+        conv_kernel=(10, 3, 3),
+        conv_stride=(5, 2, 2),
+        num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4,
+        vocab_size=11,
+    )
+    base.update(overrides)
+    return Wav2Vec2Config(**base)

@@ -1,0 +1,186 @@
+"""ForceAPTAI — forced-alignment TV regression over a frozen phoneme
+recognizer (rebuild of reference models/force_aptai.py).
+
+Pipeline (reference force_aptai.py:80-178):
+  frozen W2V2PR encoder → CTC phoneme sequence → phoneme embedding
+  (+ sinusoidal PE) ↔ frame projection cross-attention → ForwardSum
+  alignment loss + BiLSTM TV head → FIR smoothing; loss = 0.4·MSE +
+  0.6·ForwardSum (force_aptai.py:144-145).  Hard-coded dims: 128 for
+  frame/phoneme/attention hidden, max 60 phonemes, dropouts 0.2/0.1
+  (force_aptai.py:28-34).
+
+TPU-native deviation (deliberate; SURVEY.md §7.3 item 1): the reference runs
+a *CPU beam-search decode inside every training step*
+(w2v2_pr.py:144-155 via force_aptai.py:97) — a device→host→device round trip.
+Here the training-time decode is the batched on-device greedy collapse
+(:func:`aptai_tpu.ops.ctc.greedy_decode`), keeping the whole step inside one
+XLA program; beam search remains available for evaluation/inference through
+:mod:`aptai_tpu.decode`.  The decoded ids feed the same embedding/attention
+path, padded to the fixed max length 60 with pad id 0 (force_aptai.py:109-115).
+
+The frozen recognizer runs with ``stop_gradient`` and dropout disabled —
+matching the reference, where ``get_embeddings`` flips the module to eval
+mode and runs under ``no_grad`` (w2v2_pr.py:125-127, force_aptai.py:76-78).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from aptai_tpu import FRAME_RATE_HZ, TV_PAD_VALUE
+from aptai_tpu.models.configs import Wav2Vec2Config
+from aptai_tpu.models.modules import CrossAttention, PhonemeEncoder, RNNHead
+from aptai_tpu.models.w2v2_pr import W2V2PR
+from aptai_tpu.ops.ctc import greedy_decode
+from aptai_tpu.ops.fir import fir_lowpass, lowpass_fir_taps
+from aptai_tpu.ops.forward_sum import forward_sum_loss
+
+NUM_TVS = 9
+
+
+class ForceAPTAI(nn.Module):
+    pr_cfg: Wav2Vec2Config
+    vocab_size: int = 46
+    hidden_drop: float = 0.2       # force_aptai.py:28
+    rnn_drop: float = 0.1          # force_aptai.py:29
+    max_phn_seq_len: int = 60      # force_aptai.py:30
+    frame_hidden_dim: int = 128    # force_aptai.py:31
+    phn_hidden_dim: int = 128      # force_aptai.py:32
+    att_hidden_dim: int = 128      # force_aptai.py:33
+    lowpass_cutoff_hz: float = 10.0
+    frame_rate_hz: float = float(FRAME_RATE_HZ)
+
+    def setup(self):
+        self.w2v2_pr = W2V2PR(self.pr_cfg)
+        self.xatt = CrossAttention(self.att_hidden_dim)
+        self.frame_lin = nn.Dense(self.frame_hidden_dim)
+        self.frame_drop = nn.Dropout(self.hidden_drop)
+        self.phn_encoder = PhonemeEncoder(
+            vocab_size=self.vocab_size,
+            dim=self.phn_hidden_dim,
+            max_len=self.max_phn_seq_len,
+            dropout=self.hidden_drop,
+        )
+        self.rnn = RNNHead(
+            hidden_dim=2 * self.att_hidden_dim,  # rnn_in_dim, force_aptai.py:34
+            out_dim=NUM_TVS,
+            dropout=self.rnn_drop,
+        )
+        self._taps = lowpass_fir_taps(self.lowpass_cutoff_hz, self.frame_rate_hz)
+
+    def _align(self, audio_inputs, audio_lengths, deterministic):
+        """Frozen-PR encode → greedy CTC sequence → cross-attention."""
+        pr_out = self.w2v2_pr.encode(
+            audio_inputs, audio_lengths, deterministic=True  # frozen ⇒ eval mode
+        )
+        frame_embs = jax.lax.stop_gradient(pr_out["last_transf_hidden"])
+        logits = jax.lax.stop_gradient(pr_out["phoneme_logits"])
+        frame_lengths = pr_out["frame_lengths"]
+
+        phn_pred_seq, phn_seq_lengths = greedy_decode(
+            logits, frame_lengths, blank=0,
+            max_output_length=self.max_phn_seq_len,
+        )
+        phn_pred_mask = (phn_pred_seq != 0).astype(jnp.int32)
+
+        phn_embs = self.phn_encoder(phn_pred_seq, deterministic=deterministic)
+        frame_hidden = self.frame_lin(frame_embs.astype(jnp.float32))
+        frame_hidden = self.frame_drop(frame_hidden, deterministic=deterministic)
+
+        att_out, energy = self.xatt(frame_hidden, phn_embs, phn_pred_mask)
+        att_mask = (1 - phn_pred_mask).astype(energy.dtype) * -1000.0
+        att = jax.nn.log_softmax(energy + att_mask[:, None, :], axis=-1)
+        return {
+            "att_out": att_out,
+            "att": att,
+            "phn_pred_seq": phn_pred_seq,
+            "phn_seq_lengths": phn_seq_lengths,
+            "frame_lengths": frame_lengths,
+        }
+
+    def __call__(
+        self,
+        audio_inputs: jnp.ndarray,   # (B, L)
+        audio_lengths: jnp.ndarray,  # (B,)
+        tv_targets: jnp.ndarray,     # (B, T, 9) stacked in TV_ORDER, pad -100
+        deterministic: bool = True,
+    ):
+        a = self._align(audio_inputs, audio_lengths, deterministic)
+        frame_lengths = a["frame_lengths"]
+        t = a["att_out"].shape[1]
+        tv_targets = tv_targets[:, :t]
+
+        rnn_out, rnn_hidden = self.rnn(
+            a["att_out"], frame_lengths, deterministic=deterministic
+        )
+        tvs_out = fir_lowpass(rnn_out, self._taps)
+
+        tv_mask = (tv_targets != TV_PAD_VALUE).astype(jnp.float32)
+        tv_loss = jnp.sum(tv_mask * (tvs_out - tv_targets) ** 2) / jnp.maximum(
+            jnp.sum(tv_mask), 1.0
+        )
+        align_loss = forward_sum_loss(
+            a["att"], a["phn_seq_lengths"], frame_lengths
+        )
+        w = 0.4  # reference force_aptai.py:144
+        loss = w * tv_loss + (1 - w) * align_loss
+
+        # frame-wise phoneme prediction: argmax over the alignment, mapped
+        # through the decoded sequence (force_aptai.py:147-161), on device.
+        align_idx = jnp.argmax(a["att"], axis=-1)  # (B, T)
+        pred_frame_phns = jnp.take_along_axis(
+            a["phn_pred_seq"], align_idx, axis=1
+        )
+        return {
+            "loss": loss,
+            "tv_loss": tv_loss,
+            "align_loss": align_loss,
+            "tvs_pred": tvs_out,
+            "pred_frame_phns": pred_frame_phns,
+            "pred_ctc_phn_seq": a["phn_pred_seq"],
+            "phn_seq_lengths": a["phn_seq_lengths"],
+            "frame_lengths": frame_lengths,
+        }
+
+    def get_alignment(
+        self,
+        audio_inputs: jnp.ndarray,
+        audio_lengths: jnp.ndarray,
+        deterministic: bool = True,
+    ):
+        """(phonemes × frames)-style log-softmax alignment
+        (reference force_aptai.py:188-236; here batched, (B, T, N))."""
+        a = self._align(audio_inputs, audio_lengths, deterministic)
+        return {
+            "alignment": a["att"],
+            "phn_pred_seq": a["phn_pred_seq"],
+            "phn_seq_lengths": a["phn_seq_lengths"],
+            "frame_lengths": a["frame_lengths"],
+        }
+
+    def predict(
+        self,
+        audio_inputs: jnp.ndarray,
+        audio_lengths: jnp.ndarray,
+        deterministic: bool = True,
+    ):
+        """Batched device core of ``get_faptai_output``
+        (reference force_aptai.py:238-322)."""
+        a = self._align(audio_inputs, audio_lengths, deterministic)
+        rnn_out, rnn_hidden = self.rnn(
+            a["att_out"], a["frame_lengths"], deterministic=deterministic
+        )
+        tvs_out = fir_lowpass(rnn_out, self._taps)
+        align_idx = jnp.argmax(a["att"], axis=-1)
+        pred_frame_phns = jnp.take_along_axis(a["phn_pred_seq"], align_idx, axis=1)
+        return {
+            "tvs_pred": tvs_out,
+            "pred_frame_phns": pred_frame_phns,
+            "pred_ctc_phn_seq": a["phn_pred_seq"],
+            "phn_seq_lengths": a["phn_seq_lengths"],
+            "hidden_alignment": a["att_out"],
+            "hidden_tvs": rnn_hidden,
+            "frame_lengths": a["frame_lengths"],
+        }

@@ -1,0 +1,312 @@
+"""Flax wav2vec2-style acoustic encoder (TPU-native rebuild).
+
+Replaces the HF/PyTorch ``Wav2Vec2Model`` backbone the reference loads at
+models/w2v2_pr.py:28-33 and models/aptai.py:33-38.  Architecture parity with
+the "large / stable-layer-norm" family (wav2vec2-large-robust, XLSR-53):
+
+  raw wave (B, L)
+    → 7-layer conv feature extractor, each conv + LayerNorm + exact GELU
+      (512 ch, strides 5·2⁶ ⇒ 20 ms frames)
+    → feature projection (LayerNorm → Dense(1024) → dropout)
+    → [train only] SpecAugment-style time/feature masking with a learned
+      mask embedding
+    → grouped-conv relative positional embedding (k=128, 16 groups,
+      weight-normalized) added residually
+    → 24 pre-norm transformer layers (16-head MHA via the Pallas flash
+      kernel, 4096 FFN, exact GELU)
+    → final LayerNorm
+
+TPU-first choices:
+  * everything is static-shape; padding is carried as explicit lengths and
+    applied as masks (the correct form of the reference's lengths-as-mask
+    quirk, models/w2v2_pr.py:49 — see SURVEY.md §2.5);
+  * gradient checkpointing = ``jax.checkpoint`` over each encoder layer
+    (the reference enables torch gradient checkpointing, w2v2_pr.py:33);
+  * compute dtype is configurable (bf16 for the MXU, f32 params).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import flax.linen as nn
+
+from aptai_tpu.models.configs import Wav2Vec2Config
+from aptai_tpu.ops.attention import multi_head_attention
+
+
+def _gelu(x):
+    """Exact (erf) GELU — HF 'gelu'; flax's default is the tanh approximation."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def _compute_dtype(cfg: Wav2Vec2Config):
+    return jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+
+
+class ConvLayerBlock(nn.Module):
+    """One feature-extractor conv: Conv1d → (channel) LayerNorm → GELU."""
+
+    cfg: Wav2Vec2Config
+    features: int
+    kernel: int
+    stride: int
+
+    @nn.compact
+    def __call__(self, x):
+        dtype = _compute_dtype(self.cfg)
+        x = nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel,),
+            strides=(self.stride,),
+            padding="VALID",
+            use_bias=self.cfg.conv_bias,
+            dtype=dtype,
+            name="conv",
+        )(x)
+        if self.cfg.feat_extract_norm == "layer":
+            x = nn.LayerNorm(epsilon=self.cfg.layer_norm_eps, dtype=dtype,
+                             name="layer_norm")(x)
+        return _gelu(x)
+
+
+class FeatureExtractor(nn.Module):
+    """Strided conv stack over the raw waveform → (B, T_frames, conv_dim[-1])."""
+
+    cfg: Wav2Vec2Config
+
+    @nn.compact
+    def __call__(self, x):
+        # (B, L) -> (B, L, 1)
+        h = x[:, :, None].astype(_compute_dtype(self.cfg))
+        for i, (dim, k, s) in enumerate(
+            zip(self.cfg.conv_dim, self.cfg.conv_kernel, self.cfg.conv_stride)
+        ):
+            h = ConvLayerBlock(self.cfg, dim, k, s, name=f"layers_{i}")(h)
+        return h
+
+
+class FeatureProjection(nn.Module):
+    cfg: Wav2Vec2Config
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool):
+        dtype = _compute_dtype(self.cfg)
+        norm = nn.LayerNorm(epsilon=self.cfg.layer_norm_eps, dtype=dtype,
+                            name="layer_norm")(x)
+        h = nn.Dense(self.cfg.hidden_size, dtype=dtype, name="projection")(norm)
+        h = nn.Dropout(self.cfg.feat_proj_dropout)(h, deterministic=deterministic)
+        return h
+
+
+class PositionalConvEmbedding(nn.Module):
+    """Grouped, weight-normalized conv positional embedding (k=128, g=16).
+
+    Weight norm is kept in (g, v) parameterization so converted HF
+    checkpoints stay bit-faithful; the composed kernel is
+    ``g · v / ‖v‖`` with the norm over (in, out) per tap (torch dim=2).
+    """
+
+    cfg: Wav2Vec2Config
+
+    @nn.compact
+    def __call__(self, x):
+        dtype = _compute_dtype(self.cfg)
+        k = self.cfg.num_conv_pos_embeddings
+        groups = self.cfg.num_conv_pos_embedding_groups
+        hidden = self.cfg.hidden_size
+        in_per_group = hidden // groups
+
+        v = self.param(
+            "weight_v",
+            nn.initializers.normal(stddev=4.0 / np.sqrt(k * hidden)),
+            (k, in_per_group, hidden),
+            jnp.float32,
+        )
+        g = self.param("weight_g", nn.initializers.ones, (k, 1, 1), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (hidden,), jnp.float32)
+
+        norm = jnp.sqrt(jnp.sum(v * v, axis=(1, 2), keepdims=True) + 1e-12)
+        kernel = (g * v / norm).astype(dtype)
+
+        t = x.shape[1]
+        pad = k // 2
+        h = jax.lax.conv_general_dilated(
+            x.astype(dtype),
+            kernel,
+            window_strides=(1,),
+            padding=[(pad, pad)],
+            feature_group_count=groups,
+            dimension_numbers=("NHC", "HIO", "NHC"),
+        )
+        h = h + bias.astype(dtype)
+        # HF SamePadLayer: drop the trailing element for even kernels
+        if k % 2 == 0:
+            h = h[:, :t]
+        return _gelu(h)
+
+
+class SelfAttention(nn.Module):
+    cfg: Wav2Vec2Config
+
+    @nn.compact
+    def __call__(self, x, lengths, deterministic: bool):
+        cfg = self.cfg
+        dtype = _compute_dtype(cfg)
+        h_heads, d = cfg.num_attention_heads, cfg.head_dim
+        b, t, _ = x.shape
+
+        def proj(name):
+            return nn.Dense(cfg.hidden_size, dtype=dtype, name=name)
+
+        q = proj("q_proj")(x).reshape(b, t, h_heads, d)
+        k = proj("k_proj")(x).reshape(b, t, h_heads, d)
+        v = proj("v_proj")(x).reshape(b, t, h_heads, d)
+
+        ctx = multi_head_attention(q, k, v, lengths)
+        ctx = ctx.reshape(b, t, cfg.hidden_size)
+        out = nn.Dense(cfg.hidden_size, dtype=dtype, name="out_proj")(ctx)
+        return nn.Dropout(cfg.attention_dropout)(out, deterministic=deterministic)
+
+
+class FeedForward(nn.Module):
+    cfg: Wav2Vec2Config
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool):
+        cfg = self.cfg
+        dtype = _compute_dtype(cfg)
+        h = nn.Dense(cfg.intermediate_size, dtype=dtype,
+                     name="intermediate_dense")(x)
+        h = _gelu(h)
+        h = nn.Dropout(cfg.activation_dropout)(h, deterministic=deterministic)
+        h = nn.Dense(cfg.hidden_size, dtype=dtype, name="output_dense")(h)
+        return nn.Dropout(cfg.hidden_dropout)(h, deterministic=deterministic)
+
+
+class EncoderLayer(nn.Module):
+    """Pre-norm ("stable layer norm") transformer layer."""
+
+    cfg: Wav2Vec2Config
+
+    @nn.compact
+    def __call__(self, x, lengths, deterministic: bool):
+        cfg = self.cfg
+        dtype = _compute_dtype(cfg)
+        attn_in = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=dtype,
+                               name="layer_norm")(x)
+        x = x + SelfAttention(cfg, name="attention")(
+            attn_in, lengths, deterministic
+        )
+        ff_in = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=dtype,
+                             name="final_layer_norm")(x)
+        x = x + FeedForward(cfg, name="feed_forward")(ff_in, deterministic)
+        return x
+
+
+def _compute_time_mask(rng, batch: int, t: int, lengths, prob: float,
+                       span: int, min_masks: int):
+    """SpecAugment span mask (True = masked), HF `_compute_mask_indices`-style:
+    per item, ~prob·len/span random span starts within the valid region."""
+    max_starts = max(int(prob * t / span) + 1, min_masks)
+    rng_starts, rng_count = jax.random.split(rng)
+    # number of spans per item ~ prob * len / span (stochastic rounding)
+    expected = prob * lengths.astype(jnp.float32) / span
+    frac = expected - jnp.floor(expected)
+    extra = (jax.random.uniform(rng_count, (batch,)) < frac).astype(jnp.int32)
+    n_spans = jnp.maximum(jnp.floor(expected).astype(jnp.int32) + extra,
+                          min_masks)
+    n_spans = jnp.minimum(n_spans, max_starts)
+    starts = jax.random.uniform(rng_starts, (batch, max_starts))
+    starts = (starts * jnp.maximum(lengths[:, None] - span, 1)).astype(jnp.int32)
+    valid_span = jnp.arange(max_starts)[None, :] < n_spans[:, None]
+    pos = jnp.arange(t)[None, None, :]
+    in_span = (pos >= starts[:, :, None]) & (pos < starts[:, :, None] + span)
+    return jnp.any(in_span & valid_span[:, :, None], axis=1)  # (B, T)
+
+
+class Wav2Vec2Encoder(nn.Module):
+    """Full backbone: feature extractor → projection → transformer stack.
+
+    ``__call__`` returns ``(hidden_states, frame_lengths, extract_features)``
+    where ``hidden_states`` is the final LayerNorm output — the reference's
+    ``hidden_states[24]`` / ``outputs[0]`` (models/aptai.py:81,
+    models/w2v2_pr.py:53 — identical tensors in the stable-LN architecture).
+    """
+
+    cfg: Wav2Vec2Config
+    freeze_feature_encoder: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        input_values: jnp.ndarray,          # (B, L) raw 16 kHz audio
+        input_lengths: Optional[jnp.ndarray] = None,  # (B,)
+        deterministic: bool = True,
+    ):
+        cfg = self.cfg
+        b, l = input_values.shape
+        if input_lengths is None:
+            input_lengths = jnp.full((b,), l, jnp.int32)
+
+        feats = FeatureExtractor(cfg, name="feature_extractor")(input_values)
+        if self.freeze_feature_encoder:
+            # reference default for APTAI (models/aptai.py:39-40) and the
+            # optional PR flag (train_phoneme_recognizer.py:354-355)
+            feats = jax.lax.stop_gradient(feats)
+
+        frame_lengths = cfg.feat_extract_output_lengths(input_lengths)
+        t = feats.shape[1]
+        frame_mask = jnp.arange(t)[None, :] < frame_lengths[:, None]  # (B, T)
+
+        extract_features = feats
+        h = FeatureProjection(cfg, name="feature_projection")(
+            feats, deterministic
+        )
+
+        # SpecAugment-style masking (training only), matching HF's
+        # `_mask_hidden_states`: masked time steps are replaced by a learned
+        # embedding.  Active in the reference implicitly via model.train().
+        if cfg.apply_spec_augment:
+            # parameter must exist regardless of train/eval so that one
+            # param tree serves both modes
+            mask_emb = self.param(
+                "masked_spec_embed",
+                nn.initializers.uniform(scale=1.0),
+                (cfg.hidden_size,),
+                jnp.float32,
+            )
+        if cfg.apply_spec_augment and not deterministic and cfg.mask_time_prob > 0:
+            rng = self.make_rng("specaugment")
+            time_mask = _compute_time_mask(
+                rng, b, t, frame_lengths, cfg.mask_time_prob,
+                cfg.mask_time_length, cfg.mask_time_min_masks
+            ) & frame_mask
+            h = jnp.where(time_mask[:, :, None], mask_emb.astype(h.dtype), h)
+
+        # zero padded frames (HF zeroes them before the conv pos-embedding)
+        h = h * frame_mask[:, :, None].astype(h.dtype)
+
+        h = h + PositionalConvEmbedding(cfg, name="pos_conv_embed")(h)
+        if not cfg.do_stable_layer_norm:
+            h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="layer_norm")(h)
+        h = nn.Dropout(cfg.hidden_dropout)(h, deterministic=deterministic)
+
+        # gradient checkpointing over each layer in training, like the
+        # reference's gradient_checkpointing_enable() (w2v2_pr.py:33);
+        # deterministic (arg 3, counting self) is a static python bool
+        layer = (
+            nn.remat(EncoderLayer, static_argnums=(3,))
+            if not deterministic
+            else EncoderLayer
+        )
+        for i in range(cfg.num_hidden_layers):
+            h = layer(cfg, name=f"layers_{i}")(h, frame_lengths, deterministic)
+
+        if cfg.do_stable_layer_norm:
+            h = nn.LayerNorm(epsilon=cfg.layer_norm_eps,
+                             dtype=_compute_dtype(cfg), name="layer_norm")(h)
+        return h, frame_lengths, extract_features

@@ -1,0 +1,125 @@
+"""Output parity: Flax Wav2Vec2Encoder + converter vs torch transformers
+Wav2Vec2Model (random init, no network).  A silent transpose error in the
+conversion would destroy the EMA-Pearson parity target (SURVEY.md §7.3
+item 3) — this test is the guard."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+import torch
+import transformers
+
+from aptai_tpu.models import (
+    Wav2Vec2Config,
+    Wav2Vec2Encoder,
+    convert_wav2vec2_encoder,
+)
+
+TINY = dict(
+    hidden_size=32,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    intermediate_size=48,
+    conv_dim=(16, 16, 16),
+    conv_kernel=(10, 3, 3),
+    conv_stride=(5, 2, 2),
+    num_conv_pos_embeddings=16,
+    num_conv_pos_embedding_groups=4,
+)
+
+
+def _torch_model():
+    hf_cfg = transformers.Wav2Vec2Config(
+        **TINY,
+        num_feat_extract_layers=3,
+        do_stable_layer_norm=True,
+        feat_extract_norm="layer",
+        conv_bias=True,
+        hidden_act="gelu",
+        hidden_dropout=0.0,
+        activation_dropout=0.0,
+        attention_dropout=0.0,
+        feat_proj_dropout=0.0,
+        final_dropout=0.0,
+        layerdrop=0.0,
+        apply_spec_augment=False,
+    )
+    torch.manual_seed(0)
+    model = transformers.Wav2Vec2Model(hf_cfg)
+    model.eval()
+    return model
+
+
+def _flax_setup():
+    cfg = Wav2Vec2Config(
+        **TINY,
+        hidden_dropout=0.0,
+        activation_dropout=0.0,
+        attention_dropout=0.0,
+        feat_proj_dropout=0.0,
+        final_dropout=0.0,
+        apply_spec_augment=False,
+    )
+    return cfg, Wav2Vec2Encoder(cfg)
+
+
+@pytest.fixture(scope="module")
+def models():
+    tm = _torch_model()
+    cfg, enc = _flax_setup()
+    params = convert_wav2vec2_encoder(tm.state_dict(), cfg.num_hidden_layers)
+    return tm, cfg, enc, {"params": params}
+
+
+def test_full_length_outputs_match(models, rng):
+    tm, cfg, enc, variables = models
+    x = rng.standard_normal((2, 4000)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.tensor(x)).last_hidden_state.numpy()
+    got, frame_lengths, _ = enc.apply(variables, jnp.asarray(x))
+    got = np.asarray(got)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
+
+
+def test_padded_outputs_match_with_length_mask(models, rng):
+    tm, cfg, enc, variables = models
+    lengths = np.array([4000, 2600], np.int32)
+    x = rng.standard_normal((2, 4000)).astype(np.float32)
+    x[1, 2600:] = 0.0
+
+    # torch: proper frame-level attention mask
+    attn = torch.zeros((2, 4000), dtype=torch.long)
+    attn[0, :4000] = 1
+    attn[1, :2600] = 1
+    with torch.no_grad():
+        want = tm(torch.tensor(x), attention_mask=attn).last_hidden_state.numpy()
+
+    got, frame_lengths, _ = enc.apply(
+        variables, jnp.asarray(x), jnp.asarray(lengths)
+    )
+    got = np.asarray(got)
+    fl = np.asarray(frame_lengths)
+    want_fl = tm._get_feat_extract_output_lengths(torch.tensor(lengths)).numpy()
+    np.testing.assert_array_equal(fl, want_fl)
+    for b in range(2):
+        np.testing.assert_allclose(
+            got[b, : fl[b]], want[b, : fl[b]], rtol=1e-3, atol=2e-4
+        )
+
+
+def test_feat_extract_output_lengths_formula(models):
+    tm, cfg, enc, _ = models
+    lens = np.array([400, 1234, 16000, 153])
+    want = tm._get_feat_extract_output_lengths(torch.tensor(lens)).numpy()
+    got = np.asarray(cfg.feat_extract_output_lengths(jnp.asarray(lens)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_extract_features_match(models, rng):
+    tm, cfg, enc, variables = models
+    x = rng.standard_normal((1, 2000)).astype(np.float32)
+    with torch.no_grad():
+        want = tm.feature_extractor(torch.tensor(x)).transpose(1, 2).numpy()
+    _, _, got = enc.apply(variables, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-4)

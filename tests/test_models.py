@@ -1,0 +1,179 @@
+"""Model-level tests: forward contracts, loss parity pieces, gradient flow,
+and the frozen-backbone guarantee of ForceAPTAI."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+
+from aptai_tpu import TV_PAD_VALUE
+from aptai_tpu.models import APTAI, ForceAPTAI, W2V2PR, tiny_config
+
+
+@pytest.fixture(scope="module")
+def audio_batch():
+    rng = np.random.default_rng(0)
+    audio = rng.standard_normal((2, 3200)).astype(np.float32) * 0.1
+    lengths = np.array([3200, 2400], np.int32)
+    return jnp.asarray(audio), jnp.asarray(lengths)
+
+
+def test_w2v2_pr_forward_and_grads(audio_batch):
+    audio, lengths = audio_batch
+    cfg = tiny_config()
+    model = W2V2PR(cfg)
+    labels = jnp.asarray(
+        np.array([[1, 2, 3, -100, -100], [4, 5, -100, -100, -100]], np.int32)
+    )
+    variables = model.init(jax.random.PRNGKey(0), audio, lengths, labels)
+    out = model.apply(variables, audio, lengths, labels)
+    assert np.isfinite(float(out["loss"]))
+    assert out["phoneme_logits"].shape[-1] == cfg.vocab_size
+    assert out["log_probs"].shape == out["phoneme_logits"].shape
+
+    def loss_fn(params):
+        return model.apply({"params": params}, audio, lengths, labels)["loss"]
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+    total = sum(float(jnp.sum(jnp.abs(g))) for g in flat)
+    assert total > 0
+
+
+def test_w2v2_pr_train_mode_uses_dropout_rngs(audio_batch):
+    audio, lengths = audio_batch
+    cfg = tiny_config()
+    model = W2V2PR(cfg)
+    labels = jnp.asarray(np.array([[1, 2, -100], [3, -100, -100]], np.int32))
+    variables = model.init(jax.random.PRNGKey(0), audio, lengths, labels)
+    out = model.apply(
+        variables, audio, lengths, labels,
+        deterministic=False,
+        rngs={"dropout": jax.random.PRNGKey(1),
+              "specaugment": jax.random.PRNGKey(2)},
+    )
+    assert np.isfinite(float(out["loss"]))
+
+
+def _tv_batch(t_frames):
+    rng = np.random.default_rng(1)
+    tv = rng.standard_normal((2, t_frames, 9)).astype(np.float32)
+    tv[1, t_frames - 3 :, :] = TV_PAD_VALUE
+    phn = rng.integers(1, 11, size=(2, t_frames)).astype(np.int32)
+    phn[1, t_frames - 3 :] = 0
+    return jnp.asarray(phn), jnp.asarray(tv)
+
+
+def test_aptai_forward_loss_matches_torch_mse_ce(audio_batch):
+    audio, lengths = audio_batch
+    cfg = tiny_config()
+    model = APTAI(cfg, num_phonemes=11, frame_rate_hz=49.0)
+    variables = model.init(
+        jax.random.PRNGKey(0), audio, lengths,
+        jnp.zeros((2, 200), jnp.int32), jnp.zeros((2, 200, 9)),
+    )
+    t = int(np.asarray(model.apply(
+        variables, audio, lengths,
+        jnp.zeros((2, 200), jnp.int32), jnp.zeros((2, 200, 9)),
+    )["tvs_pred"]).shape[1])
+    phn, tv = _tv_batch(t)
+    out = model.apply(variables, audio, lengths, phn, tv)
+
+    # re-derive the masked losses with torch semantics from the outputs
+    tvs_pred = torch.tensor(np.asarray(out["tvs_pred"]))
+    tv_t = torch.tensor(np.asarray(tv))
+    mask = tv_t != TV_PAD_VALUE
+    want_mse = torch.nn.functional.mse_loss(tvs_pred[mask], tv_t[mask]).item()
+    assert abs(float(out["mse_loss"]) - want_mse) < 1e-5
+
+    logits = torch.tensor(np.asarray(out["phn_logits"]))
+    phn_t = torch.tensor(np.asarray(phn)).long()
+    pmask = phn_t != 0
+    want_ce = torch.nn.functional.cross_entropy(
+        logits.view(-1, 11)[pmask.flatten()],
+        phn_t.flatten()[pmask.flatten()],
+        ignore_index=0,
+    ).item()
+    assert abs(float(out["ce_loss"]) - want_ce) < 1e-4
+    assert abs(
+        float(out["loss"]) - (0.5 * want_mse + 0.5 * want_ce)
+    ) < 1e-4
+
+
+def test_aptai_feature_encoder_frozen(audio_batch):
+    audio, lengths = audio_batch
+    cfg = tiny_config()
+    model = APTAI(cfg, num_phonemes=11)
+    phn = jnp.ones((2, 200), jnp.int32)
+    tv = jnp.zeros((2, 200, 9))
+    variables = model.init(jax.random.PRNGKey(0), audio, lengths, phn, tv)
+
+    def loss_fn(params):
+        return model.apply({"params": params}, audio, lengths, phn, tv)["loss"]
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    fe_grads = jax.tree_util.tree_leaves(
+        grads["encoder"]["feature_extractor"]
+    )
+    assert all(float(jnp.sum(jnp.abs(g))) == 0 for g in fe_grads)
+    enc_grads = jax.tree_util.tree_leaves(grads["encoder"]["layers_0"])
+    assert sum(float(jnp.sum(jnp.abs(g))) for g in enc_grads) > 0
+
+
+def test_force_aptai_forward_and_frozen_pr(audio_batch):
+    audio, lengths = audio_batch
+    cfg = tiny_config()
+    model = ForceAPTAI(cfg, vocab_size=cfg.vocab_size)
+    tv = jnp.zeros((2, 200, 9))
+    variables = model.init(jax.random.PRNGKey(0), audio, lengths, tv)
+    out = model.apply(variables, audio, lengths, tv)
+    for k in ("loss", "tv_loss", "align_loss"):
+        assert np.isfinite(float(out[k])), k
+    assert out["tvs_pred"].shape[-1] == 9
+    assert out["pred_frame_phns"].shape == out["tvs_pred"].shape[:2]
+    assert out["pred_ctc_phn_seq"].shape[-1] == 60
+
+    def loss_fn(params):
+        return model.apply({"params": params}, audio, lengths, tv)["loss"]
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    pr_grads = jax.tree_util.tree_leaves(grads["w2v2_pr"])
+    assert all(float(jnp.sum(jnp.abs(g))) == 0 for g in pr_grads)
+    head_grads = jax.tree_util.tree_leaves(
+        {k: v for k, v in grads.items() if k != "w2v2_pr"}
+    )
+    assert sum(float(jnp.sum(jnp.abs(g))) for g in head_grads) > 0
+
+
+def test_force_aptai_predict_and_alignment(audio_batch):
+    audio, lengths = audio_batch
+    cfg = tiny_config()
+    model = ForceAPTAI(cfg, vocab_size=cfg.vocab_size)
+    tv = jnp.zeros((2, 200, 9))
+    variables = model.init(jax.random.PRNGKey(0), audio, lengths, tv)
+    pred = model.apply(variables, audio, lengths, method="predict")
+    assert set(pred) >= {
+        "tvs_pred", "pred_frame_phns", "pred_ctc_phn_seq",
+        "hidden_alignment", "hidden_tvs",
+    }
+    align = model.apply(variables, audio, lengths, method="get_alignment")
+    att = np.asarray(align["alignment"])
+    # log-softmax rows over the valid phoneme prefix sum to 1
+    n = int(np.asarray(align["phn_seq_lengths"])[0])
+    row = np.exp(att[0, 0])
+    assert abs(row.sum() - 1.0) < 1e-3
+
+
+def test_aptai_predict_jits(audio_batch):
+    audio, lengths = audio_batch
+    cfg = tiny_config()
+    model = APTAI(cfg, num_phonemes=11)
+    variables = model.init(
+        jax.random.PRNGKey(0), audio, lengths,
+        jnp.zeros((2, 200), jnp.int32), jnp.zeros((2, 200, 9)),
+    )
+    f = jax.jit(lambda v, a, l: model.apply(v, a, l, method="predict"))
+    out = f(variables, audio, lengths)
+    assert np.isfinite(np.asarray(out["tvs_pred"])).all()
