@@ -1,0 +1,107 @@
+"""Mesh + sharding rules for the APTAI model family.
+
+Axes:
+  * ``data``  — batch dimension (data parallel; gradients all-reduce over ICI)
+  * ``model`` — tensor parallel: attention heads and FFN hidden dimension
+    are sharded Megatron-style (column-parallel first matmul, row-parallel
+    second matmul), so each layer needs exactly one all-reduce per sublayer,
+    which XLA derives from the output shardings.
+
+The wav2vec2-large encoder (~315 M params) fits on one chip, so tensor
+parallelism is about latency scaling and headroom for bigger backbones; the
+default production layout is pure data parallel (``model=1``).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    data: int = -1,
+    model: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Create a (data, model) mesh. ``data=-1`` → use all remaining devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data == -1:
+        if n % model:
+            raise ValueError(f"{n} devices not divisible by model={model}")
+        data = n // model
+    if data * model != n:
+        raise ValueError(f"mesh {data}x{model} != {n} devices")
+    dev_array = np.asarray(devices).reshape(data, model)
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dimension over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+# (regex over 'a/b/c' param path) -> PartitionSpec.  First match wins.
+_PARAM_RULES = (
+    # attention: column-parallel QKV, row-parallel output projection
+    (r".*attention/(q_proj|k_proj|v_proj)/kernel$", P(None, MODEL_AXIS)),
+    (r".*attention/(q_proj|k_proj|v_proj)/bias$", P(MODEL_AXIS)),
+    (r".*attention/out_proj/kernel$", P(MODEL_AXIS, None)),
+    # feed-forward: column-parallel up, row-parallel down
+    (r".*feed_forward/intermediate_dense/kernel$", P(None, MODEL_AXIS)),
+    (r".*feed_forward/intermediate_dense/bias$", P(MODEL_AXIS)),
+    (r".*feed_forward/output_dense/kernel$", P(MODEL_AXIS, None)),
+    # feature projection: column-parallel into the hidden dim is not worth a
+    # collective at 512->1024; keep replicated.
+)
+
+
+def _spec_for_path(path: str) -> P:
+    for pattern, spec in _PARAM_RULES:
+        if re.fullmatch(pattern, path):
+            return spec
+    return P()
+
+
+def _path_str(kp) -> str:
+    return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
+
+
+def param_shardings(mesh: Mesh, tree):
+    """NamedShardings for a parameter-bearing pytree (params, or a whole
+    train state — the rules match on path *suffixes*, so optimizer moments
+    like ``.../mu/encoder/layers_0/attention/q_proj/kernel`` shard exactly
+    like their parameters; scalars and unmatched leaves replicate).
+
+    When the mesh has ``model == 1`` every spec degenerates to replicated,
+    which XLA folds away — one rule set serves both layouts.
+    """
+
+    def to_sharding(kp, x):
+        spec = _spec_for_path(_path_str(kp))
+        if getattr(x, "ndim", 0) < len([a for a in spec if a is not None]):
+            spec = P()
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(to_sharding, tree)
+
+
+def shard_tree(mesh: Mesh, tree):
+    """``device_put`` a pytree according to :func:`param_shardings`."""
+    return jax.device_put(tree, param_shardings(mesh, tree))
+
+
+def shard_batch(mesh: Mesh, batch):
+    """``device_put`` a batch pytree with the leading dim over ``data``."""
+    return jax.device_put(batch, batch_sharding(mesh))

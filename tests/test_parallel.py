@@ -1,0 +1,187 @@
+"""Data-parallel and tensor-parallel training steps on the 8-device virtual
+CPU mesh — the multi-chip sharding path the driver dry-runs."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from aptai_tpu.models import APTAI, W2V2PR, tiny_config
+from aptai_tpu.parallel import (
+    MODEL_AXIS,
+    make_mesh,
+    param_shardings,
+    shard_batch,
+    shard_tree,
+)
+from aptai_tpu.train import (
+    create_train_state,
+    epoch_learning_rate,
+    lr_lambda,
+    make_train_step,
+    torch_adam,
+)
+
+
+def _pr_batch(batch=8):
+    rng = np.random.default_rng(0)
+    audio = rng.standard_normal((batch, 3200)).astype(np.float32) * 0.1
+    lengths = np.full((batch,), 3200, np.int32)
+    labels = np.full((batch, 6), -100, np.int32)
+    labels[:, :4] = rng.integers(1, 11, size=(batch, 4))
+    return {
+        "audio": jnp.asarray(audio),
+        "audio_lengths": jnp.asarray(lengths),
+        "phoneme_labels": jnp.asarray(labels),
+    }
+
+
+def _pr_loss_fn(model):
+    def loss_fn(params, batch, rngs):
+        out = model.apply(
+            {"params": params},
+            batch["audio"], batch["audio_lengths"], batch["phoneme_labels"],
+            deterministic=False, rngs=rngs,
+        )
+        return out["loss"], {}
+
+    return loss_fn
+
+
+@pytest.mark.parametrize("data,model_par", [(8, 1), (4, 2)])
+def test_pr_train_step_on_mesh(data, model_par):
+    mesh = make_mesh(data=data, model=model_par)
+    cfg = tiny_config()
+    model = W2V2PR(cfg)
+    batch = _pr_batch()
+    variables = model.init(
+        jax.random.PRNGKey(0), batch["audio"], batch["audio_lengths"],
+        batch["phoneme_labels"],
+    )
+    optimizer = torch_adam()
+    state = create_train_state(variables["params"], optimizer)
+
+    with mesh:
+        state = shard_tree(mesh, state)
+        sbatch = shard_batch(mesh, batch)
+        step = make_train_step(_pr_loss_fn(model), optimizer, mesh)
+        losses = []
+        for i in range(3):
+            lr = epoch_learning_rate(1e-3, i, 1, 1, 0.96)
+            state, metrics = step(state, sbatch, jax.random.PRNGKey(7),
+                                  jnp.float32(lr))
+            losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0], losses  # overfits 1 batch quickly
+    assert int(state.step) == 3
+
+
+def test_tp_shards_attention_params():
+    mesh = make_mesh(data=4, model=2)
+    cfg = tiny_config()
+    model = W2V2PR(cfg)
+    batch = _pr_batch(4)
+    variables = model.init(
+        jax.random.PRNGKey(0), batch["audio"], batch["audio_lengths"],
+        batch["phoneme_labels"],
+    )
+    shardings = param_shardings(mesh, variables["params"])
+    q = shardings["encoder"]["layers_0"]["attention"]["q_proj"]["kernel"]
+    assert q.spec == jax.sharding.PartitionSpec(None, MODEL_AXIS)
+    out = shardings["encoder"]["layers_0"]["attention"]["out_proj"]["kernel"]
+    assert out.spec == jax.sharding.PartitionSpec(MODEL_AXIS, None)
+    ln = shardings["encoder"]["layers_0"]["layer_norm"]["scale"]
+    assert ln.spec == jax.sharding.PartitionSpec()
+
+
+def test_dp_matches_single_device_step():
+    """One DP step over 8 devices == the same step on 1 device.
+
+    Plain SGD (identity transform) so the comparison tests the data-parallel
+    gradient all-reduce directly — Adam's normalizer amplifies benign
+    reduction-order noise on near-zero gradients into sign flips.
+    """
+    import optax
+
+    cfg = tiny_config(apply_spec_augment=False)
+    model = W2V2PR(cfg)
+    batch = _pr_batch(8)
+    variables = model.init(
+        jax.random.PRNGKey(0), batch["audio"], batch["audio_lengths"],
+        batch["phoneme_labels"],
+    )
+    optimizer = optax.identity()
+
+    def run(mesh):
+        # fresh copies: donated buffers from one run must not alias the other
+        params = jax.tree.map(lambda x: jnp.array(np.asarray(x)),
+                              variables["params"])
+        state = create_train_state(params, optimizer)
+        if mesh is not None:
+            with mesh:
+                state = shard_tree(mesh, state)
+                sbatch = shard_batch(mesh, batch)
+                step = make_train_step(_pr_loss_fn(model), optimizer, mesh)
+                state, m = step(state, sbatch, jax.random.PRNGKey(1),
+                                jnp.float32(1e-3))
+        else:
+            step = make_train_step(_pr_loss_fn(model), optimizer)
+            state, m = step(state, batch, jax.random.PRNGKey(1),
+                            jnp.float32(1e-3))
+        return float(m["loss"]), jax.tree.map(np.asarray, state.params)
+
+    loss_mesh, params_mesh = run(make_mesh(data=8, model=1))
+    loss_single, params_single = run(None)
+    assert abs(loss_mesh - loss_single) < 1e-5
+    for a, b in zip(jax.tree.leaves(params_mesh), jax.tree.leaves(params_single)):
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-6)
+
+
+def test_lr_schedule_contract():
+    # reference train_phoneme_recognizer.py:280-288 docstring example
+    vals = [lr_lambda(e, 10, 30, 0.96) for e in range(45)]
+    assert vals[0] == pytest.approx(1.0)
+    assert vals[9] == pytest.approx(10.0)
+    assert vals[10] == vals[39] == 10.0
+    assert vals[40] == pytest.approx(10.0)  # 0.96^0 — reference :288
+    assert vals[41] == pytest.approx(10.0 * 0.96)
+    assert vals[44] == pytest.approx(10.0 * 0.96 ** 4)
+    # zero warmup (PR defaults) must not divide by zero
+    assert lr_lambda(0, 0, 0, 0.96) == pytest.approx(10.0)
+
+
+def test_aptai_train_step_on_mesh():
+    mesh = make_mesh(data=8, model=1)
+    cfg = tiny_config()
+    model = APTAI(cfg, num_phonemes=11)
+    rng = np.random.default_rng(2)
+    batch = {
+        "audio": jnp.asarray(rng.standard_normal((8, 3200)).astype(np.float32)),
+        "audio_lengths": jnp.asarray(np.full(8, 3200, np.int32)),
+        "phn_frames": jnp.asarray(rng.integers(1, 11, (8, 200)).astype(np.int32)),
+        "tv_targets": jnp.asarray(rng.standard_normal((8, 200, 9)).astype(np.float32)),
+    }
+    variables = model.init(
+        jax.random.PRNGKey(0), batch["audio"], batch["audio_lengths"],
+        batch["phn_frames"], batch["tv_targets"],
+    )
+
+    def loss_fn(params, b, rngs):
+        out = model.apply(
+            {"params": params}, b["audio"], b["audio_lengths"],
+            b["phn_frames"], b["tv_targets"],
+            deterministic=False, rngs=rngs,
+        )
+        return out["loss"], {"mse_loss": out["mse_loss"],
+                             "ce_loss": out["ce_loss"]}
+
+    optimizer = torch_adam()
+    state = create_train_state(variables["params"], optimizer)
+    with mesh:
+        state = shard_tree(mesh, state)
+        sbatch = shard_batch(mesh, batch)
+        step = make_train_step(loss_fn, optimizer, mesh)
+        state, metrics = step(state, sbatch, jax.random.PRNGKey(3),
+                              jnp.float32(1e-4))
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["mse_loss"]))
