@@ -1,0 +1,131 @@
+"""HPRC (Haskins Production Rate Comparison) EMA + speech dataset.
+
+Rebuild of the online part of reference data/dataset_hprc.py:48-137
+(``HPRCDataset``): manifest rows point at the prepared wav plus pickled
+feature dicts (TVs in 4 variants, mspec, mfcc) and carry phoneme labels,
+timestamps, and 49 Hz frame-level phoneme targets.  Rate filtering selects
+normal (N) / fast (F) / both productions.
+"""
+
+from __future__ import annotations
+
+import ast
+import pickle
+from typing import Dict
+
+import numpy as np
+import pandas as pd
+
+from aptai_tpu import TV_ORDER
+from aptai_tpu.data.audio_io import load_wav_16k
+from aptai_tpu.data.vocab import phonemes_to_ids
+
+HPRC_SPEAKERS = ("M01", "M02", "M03", "M04", "F01", "F02", "F03", "F04")
+
+
+def speaker_onehot(speaker: str) -> np.ndarray:
+    """8-dim one-hot (reference data/dataset_hprc.py:2521-2527)."""
+    idx = HPRC_SPEAKERS.index(speaker)
+    return np.eye(len(HPRC_SPEAKERS), dtype=np.float32)[idx]
+
+
+def _load_pickle(path):
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def tv_dict_to_array(tvs: Dict[str, np.ndarray]) -> np.ndarray:
+    """{TV name: (T,)} → (T, 9) stacked in canonical TV_ORDER."""
+    return np.stack([np.asarray(tvs[k], np.float32) for k in TV_ORDER], axis=-1)
+
+
+class HPRCDataset:
+    """Map-style dataset over an ``hprc.csv`` manifest.
+
+    __getitem__ mirrors reference data/dataset_hprc.py:64-134; the TV
+    variants additionally come pre-stacked as ``(T, 9)`` arrays
+    (``tvs_norm_49hz_array``) in canonical order for the collator.
+    """
+
+    def __init__(self, df: pd.DataFrame, vocab: Dict[str, int], rate: str):
+        if rate not in ("N", "F", "both"):
+            raise ValueError("rate must be one of N / F / both")
+        self.vocab = vocab
+        self.rate = rate
+        self.df = (df if rate == "both" else df[df.rate == rate]).reset_index(
+            drop=True
+        )
+
+    def __len__(self) -> int:
+        return len(self.df)
+
+    def __getitem__(self, index: int) -> Dict:
+        row = self.df.iloc[index]
+        audio = load_wav_16k(row.path_wav)
+
+        phoneme_labels = phonemes_to_ids(self.vocab, row.phoneme_labels)
+        phoneme_timestamps = [
+            float(x) for x in ast.literal_eval(str(row.phoneme_timestamps))
+        ]
+        phn_frames_49hz = ast.literal_eval(str(row.phn_frames_49hz))
+
+        mspec = _load_pickle(row.path_mspec)
+        mfccs = _load_pickle(row.path_mfccs)
+        tvs = _load_pickle(row.path_tvs)
+        tvs_49hz = _load_pickle(row.path_tvs_49hz)
+        tvs_norm = _load_pickle(row.path_tvs_norm)
+        tvs_norm_49hz = _load_pickle(row.path_tvs_norm_49hz)
+
+        return {
+            "audio": np.asarray(audio, np.float32),
+            "audio_len": len(audio),
+            "mspec": mspec,
+            "mspec_len": len(mspec[1]) if hasattr(mspec, "__getitem__") else 0,
+            "mfccs": mfccs,
+            "spk_emb": speaker_onehot(row.speaker),
+            "phoneme_label": np.asarray(phoneme_labels, np.int32),
+            "phoneme_timestamps": phoneme_timestamps,
+            "phn_frames_49hz": np.asarray(phn_frames_49hz, np.int32),
+            "tvs": tvs,
+            "tvs_49hz": tvs_49hz,
+            "tvs_norm": tvs_norm,
+            "tvs_norm_49hz": tvs_norm_49hz,
+            "tvs_norm_49hz_array": tv_dict_to_array(tvs_norm_49hz),
+        }
+
+
+def loso_split(
+    hprc_df: pd.DataFrame,
+    test_speaker: str,
+    train_val_rate: str,
+    valid_text_fraction: float = 0.1,
+    seed: int = 0,
+):
+    """Leave-one-speaker-out split with a text-disjoint validation set.
+
+    Contract: reference train/train_aptai.py:181-248 — the held-out speaker
+    provides the N- and F-rate test sets; 10% of the remaining unique texts
+    go to validation for every training speaker (so validation texts are
+    unseen during training); train/val are then filtered by rate.
+    """
+    rng = np.random.default_rng(seed)
+    test_df = hprc_df[hprc_df.speaker == test_speaker]
+    test_n = test_df[test_df.rate == "N"]
+    test_f = test_df[test_df.rate == "F"]
+
+    rest = hprc_df.drop(test_df.index)
+    texts = rest.text.unique()
+    k = int(len(texts) * valid_text_fraction)
+    valid_texts = set(rng.choice(texts, size=k, replace=False)) if k else set()
+
+    valid_df = rest[rest.text.isin(valid_texts)]
+    train_df = rest.drop(valid_df.index)
+
+    if train_val_rate in ("N", "F"):
+        train_df = train_df[train_df.rate == train_val_rate]
+        valid_df = valid_df[valid_df.rate == train_val_rate]
+    elif train_val_rate != "both":
+        raise ValueError("train_val_rate must be N / F / both")
+
+    return (train_df.reset_index(drop=True), valid_df.reset_index(drop=True),
+            test_n.reset_index(drop=True), test_f.reset_index(drop=True))

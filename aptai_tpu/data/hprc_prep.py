@@ -1,0 +1,435 @@
+"""HPRC offline corpus preparation (host-side CPU tool).
+
+Rebuild of the ~2,300-line offline pipeline in reference
+data/dataset_hprc.py:141-2649, restructured into testable functions in the
+reference's processing order (dataset_hprc.py __main__:2580-2622):
+
+1.  :func:`extract_mat`            — .mat → wav + EMA pickles + palate + text
+2.  :func:`lowpass_ema`            — NaN interpolation + Butterworth(10 Hz,
+                                     order 5, filtfilt) per trajectory
+3.  :func:`maus_g2p`               — MAUS BAS forced alignment (network)
+4.  :func:`compute_tvs`            — 9 tract variables from EMA geometry
+5.  normalization variants         — :func:`zscore_utterance` (the blessed
+                                     one, dataset_hprc.py:2610), plus
+                                     min-max / z-score per speaker & global
+6.  :func:`interpolate_tvs_to_frames` — linear resample to the encoder
+                                     frame count
+7.  :func:`phoneme_frame_labels`   — MAUS timestamps → 20 ms frame ids
+8.  :func:`build_hprc_csv`         — manifest
+
+Notable TPU-era simplification: the reference loads a full wav2vec2
+checkpoint just to discover the encoder's output length T for resampling
+(dataset_hprc.py:2328-2341, 2365); here T comes from the closed-form conv
+length formula (``Wav2Vec2Config.feat_extract_output_lengths``) — no model
+in the data pipeline.
+"""
+
+from __future__ import annotations
+
+import csv
+import math
+import os
+import pickle
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+import pandas as pd
+from scipy.signal import butter, filtfilt
+
+from aptai_tpu import SAMPLE_RATE, TV_ORDER
+from aptai_tpu.data.audio_io import load_wav, resample_np, save_wav
+from aptai_tpu.data.textgrid import parse_textgrid, textgrid_phonemes
+from aptai_tpu.models.configs import Wav2Vec2Config
+from aptai_tpu.ops.signal import interpolate_nan
+
+EMA_SENSORS = ("TR", "TB", "TT", "UL", "LL", "ML", "JAW", "JAWL")
+
+
+# ---------------------------------------------------------------------------
+# 1. .mat extraction
+# ---------------------------------------------------------------------------
+
+def extract_mat(data_path, target_path=None, resample_fs: int = SAMPLE_RATE):
+    """Extract audio (resampled), EMA trajectories, palate traces, and word
+    transcripts from the raw HPRC .mat release
+    (reference data/dataset_hprc.py:229-435)."""
+    import scipy.io
+
+    data_path = Path(data_path)
+    target_path = Path(target_path or (str(data_path) + "_prep"))
+    for spk_dir in sorted(p for p in data_path.iterdir() if p.is_dir()):
+        spk = spk_dir.name
+        for sub in spk_dir.iterdir():
+            if "data" in sub.name.lower():
+                for mat_file in sorted(sub.glob("*.mat")):
+                    mat = scipy.io.loadmat(mat_file)
+                    key = mat_file.stem
+                    if "palate" in key:
+                        arr = mat[key]
+                        palate = {
+                            "x": [r[0] for r in arr],
+                            "y": [r[1] for r in arr],
+                            "z": [r[2] for r in arr],
+                        }
+                        out = target_path / spk / "ema"
+                        out.mkdir(parents=True, exist_ok=True)
+                        with open(out / (key + ".pkl"), "wb") as f:
+                            pickle.dump(palate, f)
+                        continue
+                    data = mat[key]
+                    fs = int(np.squeeze(data[0, 0][1]))
+                    audio = np.squeeze(data[0, 0][2]).astype(np.float32)
+                    audio = resample_np(audio, fs, resample_fs)
+                    audio_dir = target_path / spk / "audio"
+                    audio_dir.mkdir(parents=True, exist_ok=True)
+                    save_wav(audio_dir / (key + ".wav"), audio, resample_fs)
+
+                    ema: Dict[str, Dict[str, List[float]]] = {}
+                    for i, sensor in enumerate(EMA_SENSORS, start=1):
+                        if spk == "F02" and sensor == "ML":
+                            continue  # F02 has no ML channel (ref :351-354)
+                        col = i - 1 if (spk == "F02" and sensor in
+                                        ("JAW", "JAWL")) else i
+                        traj = data[0, col][2]
+                        ema[sensor] = {
+                            "x": [r[0] for r in traj],
+                            "y": [r[1] for r in traj],
+                            "z": [r[2] for r in traj],
+                        }
+                    ema_dir = target_path / spk / "ema"
+                    ema_dir.mkdir(parents=True, exist_ok=True)
+                    with open(ema_dir / (key + ".pkl"), "wb") as f:
+                        pickle.dump(ema, f)
+            elif "TextGrids" in sub.name:
+                for tg in sorted(sub.glob("*.TextGrid")):
+                    tiers = parse_textgrid(tg)
+                    words = [iv.text for iv in tiers.get("word", [])
+                             if iv.text and iv.text != "sp"]
+                    txt_dir = target_path / spk / "text"
+                    txt_dir.mkdir(parents=True, exist_ok=True)
+                    (txt_dir / (tg.stem + ".txt")).write_text(
+                        " ".join(words).lower(), encoding="utf-8"
+                    )
+    return target_path
+
+
+# ---------------------------------------------------------------------------
+# 2. EMA low-pass
+# ---------------------------------------------------------------------------
+
+def butter_lowpass(data: np.ndarray, cutoff: float = 10.0, fs: float = 100.0,
+                   order: int = 5) -> np.ndarray:
+    """``utility.butter_lowpass_filter`` (reference utility.py:504-510)."""
+    b, a = butter(order, cutoff / (0.5 * fs), btype="low", analog=False)
+    return filtfilt(b, a, data)
+
+
+def lowpass_ema_dict(ema: Dict, cutoff=10.0, fs=100.0, order=5) -> Dict:
+    """NaN-interpolate + low-pass each trajectory
+    (reference data/dataset_hprc.py:2225-2303).  Handles both the nested
+    sensor dicts and the flat palate dict."""
+
+    def clean(vals):
+        vals = np.asarray(vals, np.float64)
+        if np.isnan(vals).any():
+            vals = interpolate_nan(vals)
+        return butter_lowpass(vals, cutoff, fs, order)
+
+    out: Dict = {}
+    for key, val in ema.items():
+        if isinstance(val, dict):
+            out[key] = {axis: clean(v) for axis, v in val.items()}
+        else:
+            out[key] = clean(val)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# 4. Tract-variable geometry
+# ---------------------------------------------------------------------------
+
+def compute_tvs(
+    ema: Dict[str, Dict[str, np.ndarray]],
+    palate: Dict[str, np.ndarray],
+    median_llx: float,
+    median_ttx: float,
+    median_tbx: float,
+    median_trx: float,
+) -> Dict[str, np.ndarray]:
+    """9 TVs from EMA geometry — vectorized over time, numerically identical
+    to the reference's per-sample loops (data/dataset_hprc.py:1280-1349):
+
+      LA  = ‖LL − UL‖ (x,z)           LP  = LLx − median(LLx)
+      JA  = ‖JAW − UL‖ (x,z)
+      T*CL = median(Sx) − Sx          for S ∈ {TT, TB, TR}
+      T*CD = min over palate x∈[−50,0) of ‖(Sx, Sz) − (x, palate_z[−x−1])‖
+    """
+    def xz(sensor):
+        return (np.asarray(ema[sensor]["x"], np.float64),
+                np.asarray(ema[sensor]["z"], np.float64))
+
+    llx, llz = xz("LL")
+    ulx, ulz = xz("UL")
+    jawx, jawz = xz("JAW")
+    ttx, ttz = xz("TT")
+    tbx, tbz = xz("TB")
+    trx, trz = xz("TR")
+
+    palate_z = np.asarray(palate["z"], np.float64)
+    xs = np.arange(-50, 0, dtype=np.float64)          # candidate x positions
+    pz = palate_z[(-xs).astype(int) - 1]              # palate_z[(-x)-1]
+
+    def constriction_degree(sx, sz):
+        d = np.sqrt((sx[:, None] - xs[None, :]) ** 2 +
+                    (sz[:, None] - pz[None, :]) ** 2)
+        return d.min(axis=1)
+
+    return {
+        "LA": np.sqrt((llx - ulx) ** 2 + (llz - ulz) ** 2),
+        "LP": llx - median_llx,
+        "JA": np.sqrt((jawx - ulx) ** 2 + (jawz - ulz) ** 2),
+        "TTCL": median_ttx - ttx,
+        "TTCD": constriction_degree(ttx, ttz),
+        "TMCL": median_tbx - tbx,
+        "TMCD": constriction_degree(tbx, tbz),
+        "TBCL": median_trx - trx,
+        "TBCD": constriction_degree(trx, trz),
+    }
+
+
+def median_sensor_x(ema_files: List[Dict], sensor: str) -> float:
+    """Speaker-level median of a sensor's x trajectory over all utterances
+    (reference ``get_median_ema_x``, used at data/dataset_hprc.py:1266-1269)."""
+    values = np.concatenate(
+        [np.asarray(e[sensor]["x"], np.float64) for e in ema_files]
+    )
+    return float(np.nanmedian(values))
+
+
+# ---------------------------------------------------------------------------
+# 5. Normalization variants
+# ---------------------------------------------------------------------------
+
+def zscore_utterance(tvs: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Per-utterance z-score — the blessed variant
+    (reference data/dataset_hprc.py:775-833, chosen at :2610 '-> best').
+    NaNs that survive (zero variance) are replaced by 0."""
+    out = {}
+    for k, v in tvs.items():
+        v = np.asarray(v, np.float64)
+        norm = (v - np.nanmean(v)) / np.nanstd(v)
+        out[k] = np.nan_to_num(norm, nan=0.0)
+    return out
+
+
+def minmax_speaker(tvs: Dict[str, np.ndarray],
+                   spk_min: Dict[str, float],
+                   spk_max: Dict[str, float]) -> Dict[str, np.ndarray]:
+    """Speaker-level min-max (reference data/dataset_hprc.py:837-898)."""
+    return {
+        k: (np.asarray(v, np.float64) - spk_min[k])
+        / (spk_max[k] - spk_min[k])
+        for k, v in tvs.items()
+    }
+
+
+def zscore_speaker(tvs: Dict[str, np.ndarray],
+                   spk_mean: Dict[str, float],
+                   spk_std: Dict[str, float]) -> Dict[str, np.ndarray]:
+    """Speaker-level z-score (reference data/dataset_hprc.py:902-962)."""
+    return {
+        k: (np.asarray(v, np.float64) - spk_mean[k]) / spk_std[k]
+        for k, v in tvs.items()
+    }
+
+
+def speaker_stats(tv_files: List[Dict[str, np.ndarray]]):
+    """(min, max, mean, std) per TV over a speaker's utterances."""
+    stats_min, stats_max, stats_mean, stats_std = {}, {}, {}, {}
+    for k in TV_ORDER:
+        allv = np.concatenate([np.asarray(t[k], np.float64) for t in tv_files])
+        stats_min[k] = float(np.nanmin(allv))
+        stats_max[k] = float(np.nanmax(allv))
+        stats_mean[k] = float(np.nanmean(allv))
+        stats_std[k] = float(np.nanstd(allv))
+    return stats_min, stats_max, stats_mean, stats_std
+
+
+# ---------------------------------------------------------------------------
+# 6. Frame-rate interpolation
+# ---------------------------------------------------------------------------
+
+def interpolate_signal(sig: np.ndarray, target_len: int) -> np.ndarray:
+    """Linear resample to ``target_len`` samples
+    (reference data/dataset_hprc.py:2307-2313)."""
+    sig = np.asarray(sig, np.float64)
+    src = np.arange(len(sig), dtype=np.float64)
+    dst = np.linspace(0, len(sig) - 1, target_len)
+    return np.interp(dst, src, sig)
+
+
+def encoder_frames_for_audio(num_samples: int,
+                             cfg: Optional[Wav2Vec2Config] = None) -> int:
+    """Encoder output length T for a waveform — closed form, replacing the
+    reference's load-a-checkpoint-and-run-it approach
+    (data/dataset_hprc.py:2328-2341)."""
+    cfg = cfg or Wav2Vec2Config()
+    return int(cfg.feat_extract_output_lengths(np.asarray(num_samples)))
+
+
+def interpolate_tvs_to_frames(tvs: Dict[str, np.ndarray],
+                              num_audio_samples: int,
+                              cfg: Optional[Wav2Vec2Config] = None):
+    """All 9 TVs linearly resampled to the encoder frame count
+    (reference data/dataset_hprc.py:2316-2423)."""
+    t = encoder_frames_for_audio(num_audio_samples, cfg)
+    return {k: interpolate_signal(v, t) for k, v in tvs.items()}
+
+
+# ---------------------------------------------------------------------------
+# 7. Frame-level phoneme labels
+# ---------------------------------------------------------------------------
+
+def match_phonemes_to_frames(phoneme_boundaries: List[float],
+                             phoneme_list: List,
+                             frame_duration: float = 0.02) -> List:
+    """``utility.match_phonemes_to_frames`` (reference utility.py:312-342):
+    walk 20 ms frames over the centisecond grid; a frame takes the first
+    phoneme whose *start boundary* falls inside it, else carries the
+    previous frame's phoneme."""
+    matched, current = [], None
+    stop = int(phoneme_boundaries[-1] * 100) + 1
+    step = int(frame_duration * 100)
+    for frame_start in range(0, stop, step):
+        frame_end = frame_start + step
+        overlapping = [
+            p for p, b in zip(phoneme_list, phoneme_boundaries)
+            if frame_start / 100.0 <= b < frame_end / 100.0
+        ]
+        if overlapping:
+            current = overlapping[0]
+        matched.append(current)
+    return matched
+
+
+def phoneme_frame_labels(timestamps: List[float], phoneme_ids: List[int],
+                         num_audio_samples: int,
+                         cfg: Optional[Wav2Vec2Config] = None) -> List[int]:
+    """Frame ids at the encoder rate, truncated/aligned to the true frame
+    count T (reference data/dataset_hprc.py:2467-2484)."""
+    ts = list(timestamps)
+    ts[-1] = round(ts[-1], 2)
+    frames = match_phonemes_to_frames(ts, phoneme_ids, 0.02)
+    t = encoder_frames_for_audio(num_audio_samples, cfg)
+    diff = abs(len(frames) - t)
+    if diff:
+        frames = frames[:-diff] if len(frames) > t else frames + [frames[-1]] * diff
+    assert len(frames) == t
+    return frames
+
+
+# ---------------------------------------------------------------------------
+# 3. MAUS BAS web service client (network; offline-gated)
+# ---------------------------------------------------------------------------
+
+MAUS_BASE = "https://clarin.phonetik.uni-muenchen.de/BASWebServices/services"
+
+
+def maus_g2p(audio_path, txt_path, language: str = "eng") -> str:
+    """G2P + forced alignment via the BAS CLARIN ``runPipeline`` REST API
+    (reference utility.py:142-186).  Returns the TextGrid download link.
+    Requires network access; callers in prep gate on availability."""
+    import xml.etree.ElementTree as et
+
+    import requests
+
+    status = requests.get(f"{MAUS_BASE}/getLoadIndicator", timeout=30)
+    if status.status_code == 200 and status.text.strip() == "2":
+        raise RuntimeError("MAUS server load is too high")
+    with open(audio_path, "rb") as a_f, open(txt_path, "rb") as t_f:
+        res = requests.post(
+            f"{MAUS_BASE}/runPipeline",
+            files={
+                "SIGNAL": a_f,
+                "TEXT": t_f,
+                "PIPE": (None, "G2P_MAUS"),
+                "LANGUAGE": (None, language),
+                "OUTFORMAT": (None, "TextGrid"),
+                "OUTSYMBOL": (None, "ipa"),
+                "USETEXTENHANCE": (None, "false"),
+            },
+            timeout=600,
+        )
+    res.raise_for_status()
+    return et.fromstring(res.text).find("downloadLink").text
+
+
+# ---------------------------------------------------------------------------
+# 8. Manifest
+# ---------------------------------------------------------------------------
+
+def build_hprc_csv(prep_path) -> Path:
+    """Build ``hprc.csv``: one N and one F file per utterance (first
+    repetition R01 only), with phoneme labels/boundary timestamps from the
+    MAUS TextGrids (reference data/dataset_hprc.py:141-225)."""
+    prep_path = Path(prep_path)
+    rows, index = [], 0
+    for spk_dir in sorted(p for p in prep_path.iterdir() if p.is_dir()):
+        spk = spk_dir.name
+        audio_dir = spk_dir / "audio"
+        if not audio_dir.exists():
+            continue
+        for wav in sorted(audio_dir.glob("*.wav")):
+            if "R01" not in wav.stem:
+                continue
+            name = wav.stem
+            text = (spk_dir / "text" / (name + ".txt")).read_text().rstrip()
+            labels, ts_tuples = textgrid_phonemes(
+                spk_dir / "phonemes" / (name + ".TextGrid")
+            )
+            # boundary list: starts of all phonemes + final end (ref :181-188)
+            timestamps = [t[0] for t in ts_tuples] + [ts_tuples[-1][1]]
+            rows.append([
+                index, str(wav), spk, text, " ".join(labels), timestamps,
+                name[-1],
+                str(spk_dir / "tvs" / (name + ".pkl")),
+                str(spk_dir / "tvs_49hz" / (name + ".pkl")),
+                str(spk_dir / "tvs_norm" / (name + ".pkl")),
+                str(spk_dir / "tvs_norm_49hz" / (name + ".pkl")),
+                str(spk_dir / "mspec" / (name + ".pkl")),
+                str(spk_dir / "mfccs" / (name + ".pkl")),
+            ])
+            index += 1
+    out = prep_path / "hprc.csv"
+    with open(out, "w", encoding="utf-8", newline="") as f:
+        w = csv.writer(f)
+        w.writerow([
+            "index", "path_wav", "speaker", "text", "phoneme_labels",
+            "phoneme_timestamps", "rate", "path_tvs", "path_tvs_49hz",
+            "path_tvs_norm", "path_tvs_norm_49hz", "path_mspec", "path_mfccs",
+        ])
+        w.writerows(rows)
+    return out
+
+
+def add_phn_frames_to_csv(csv_path, vocab: Dict[str, int],
+                          cfg: Optional[Wav2Vec2Config] = None) -> None:
+    """Add the ``phn_frames_49hz`` column (reference
+    data/dataset_hprc.py:2428-2488).  Like the reference, the blank token is
+    removed from the vocab before mapping (so id 0 never appears as a target
+    — it is the CE ignore index)."""
+    import ast
+
+    from aptai_tpu.data.vocab import phonemes_to_ids
+
+    df = pd.read_csv(csv_path)
+    vocab_noblank = {k: v for k, v in vocab.items() if k != "(blank)"}
+    col = []
+    for _, row in df.iterrows():
+        ids = phonemes_to_ids(vocab_noblank, row.phoneme_labels)
+        audio, _ = load_wav(row.path_wav)
+        ts = ast.literal_eval(str(row.phoneme_timestamps))
+        col.append(phoneme_frame_labels(ts, ids, len(audio), cfg))
+    df["phn_frames_49hz"] = col
+    df.to_csv(csv_path, index=False)

@@ -50,9 +50,10 @@ def _xla_attention(q, k, v, lengths):
 def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, scale, t_padded):
     """One (batch·head, q-block) tile of flash attention.
 
-    q_ref: (BQ, D); k_ref/v_ref: (T, D) in VMEM; len_ref: (1,) SMEM.
+    q_ref: (BQ, D); k_ref/v_ref: (T, D) in VMEM; len_ref: (B·H,) prefetched
+    scalars in SMEM, indexed by the grid's batch·head coordinate.
     """
-    length = len_ref[0]
+    length = len_ref[pl.program_id(0)]
     q = q_ref[:].astype(jnp.float32) * scale
     bq, d = q.shape
     num_k_blocks = t_padded // _K_BLOCK
@@ -105,23 +106,25 @@ def flash_attention(q, k, v, lengths=None):
         return x.transpose(0, 2, 1, 3).reshape(b * h, t_padded, d)
 
     qf, kf, vf = to_bh(q), to_bh(k), to_bh(v)
-    lens_bh = jnp.repeat(lengths.astype(jnp.int32), h)
+    lens_bh = jnp.repeat(lengths.astype(jnp.int32), h)  # (B*H,)
 
-    grid = (b * h, t_padded // _Q_BLOCK)
-    out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, t_padded=t_padded),
-        grid=grid,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b * h, t_padded // _Q_BLOCK),
         in_specs=[
-            pl.BlockSpec((1,), lambda i, j: (i,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((None, _Q_BLOCK, d), lambda i, j: (i, j, 0),
+            pl.BlockSpec((None, _Q_BLOCK, d), lambda i, j, lens: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, t_padded, d), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((None, t_padded, d), lambda i, j, lens: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, t_padded, d), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((None, t_padded, d), lambda i, j, lens: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((None, _Q_BLOCK, d), lambda i, j: (i, j, 0),
+        out_specs=pl.BlockSpec((None, _Q_BLOCK, d), lambda i, j, lens: (i, j, 0),
                                memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, t_padded=t_padded),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b * h, t_padded, d), q.dtype),
     )(lens_bh, qf, kf, vf)
 

@@ -70,8 +70,9 @@ def _hz_to_mel_slaney(f):
     min_log_hz = 1000.0
     logstep = np.log(6.4) / 27.0
     mel = f / f_sp
+    safe_f = np.maximum(f, min_log_hz)  # avoid log(0) in the unused branch
     return np.where(f >= min_log_hz,
-                    min_log_hz / f_sp + np.log(f / min_log_hz) / logstep,
+                    min_log_hz / f_sp + np.log(safe_f / min_log_hz) / logstep,
                     mel)
 
 
