@@ -28,6 +28,17 @@ from aptai_tpu.ops.fir import fir_lowpass, lowpass_fir_taps
 NUM_TVS = 9
 
 
+def _pad_or_trim(x, t: int, value):
+    """Static-width reconciliation along axis 1 (pad with sentinel / trim)."""
+    cur = x.shape[1]
+    if cur == t:
+        return x
+    if cur > t:
+        return x[:, :t]
+    pad = [(0, 0), (0, t - cur)] + [(0, 0)] * (x.ndim - 2)
+    return jnp.pad(x, pad, constant_values=value)
+
+
 class APTAI(nn.Module):
     cfg: Wav2Vec2Config
     tv_drop: float = 0.1
@@ -69,9 +80,12 @@ class APTAI(nn.Module):
         hidden, frame_lengths, _ = self.encoder(
             audio_inputs, audio_lengths, deterministic=deterministic
         )
+        # Reconcile the (static) target width with the encoder frame count:
+        # bucket-padded audio can yield more frames than the target pad
+        # width; the extra frames are padding and carry the mask sentinels.
         t = hidden.shape[1]
-        tv_targets = tv_targets[:, :t]
-        phn_targets = phn_frames[:, :t]
+        tv_targets = _pad_or_trim(tv_targets, t, TV_PAD_VALUE)
+        phn_targets = _pad_or_trim(phn_frames, t, 0)
 
         tvs_out, phn_logits = self._heads(hidden, deterministic)
 

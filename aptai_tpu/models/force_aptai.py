@@ -32,6 +32,7 @@ import flax.linen as nn
 from aptai_tpu import FRAME_RATE_HZ, TV_PAD_VALUE
 from aptai_tpu.models.configs import Wav2Vec2Config
 from aptai_tpu.models.modules import CrossAttention, PhonemeEncoder, RNNHead
+from aptai_tpu.models.aptai import _pad_or_trim
 from aptai_tpu.models.w2v2_pr import W2V2PR
 from aptai_tpu.ops.ctc import greedy_decode
 from aptai_tpu.ops.fir import fir_lowpass, lowpass_fir_taps
@@ -110,7 +111,7 @@ class ForceAPTAI(nn.Module):
         a = self._align(audio_inputs, audio_lengths, deterministic)
         frame_lengths = a["frame_lengths"]
         t = a["att_out"].shape[1]
-        tv_targets = tv_targets[:, :t]
+        tv_targets = _pad_or_trim(tv_targets, t, TV_PAD_VALUE)
 
         rnn_out, rnn_hidden = self.rnn(
             a["att_out"], frame_lengths, deterministic=deterministic

@@ -37,9 +37,9 @@ def make_mesh(
         if n % model:
             raise ValueError(f"{n} devices not divisible by model={model}")
         data = n // model
-    if data * model != n:
-        raise ValueError(f"mesh {data}x{model} != {n} devices")
-    dev_array = np.asarray(devices).reshape(data, model)
+    if data * model > n:
+        raise ValueError(f"mesh {data}x{model} needs more than {n} devices")
+    dev_array = np.asarray(devices[: data * model]).reshape(data, model)
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
 
 
@@ -103,5 +103,16 @@ def shard_tree(mesh: Mesh, tree):
 
 
 def shard_batch(mesh: Mesh, batch):
-    """``device_put`` a batch pytree with the leading dim over ``data``."""
-    return jax.device_put(batch, batch_sharding(mesh))
+    """``device_put`` a batch pytree with the leading dim over ``data``.
+
+    Falls back to replication when the batch size does not divide the data
+    axis (small eval/debug batches) — correctness first, then speed.
+    """
+    n_data = mesh.shape[DATA_AXIS]
+
+    def put(x):
+        if getattr(x, "ndim", 0) >= 1 and x.shape[0] % n_data == 0:
+            return jax.device_put(x, NamedSharding(mesh, P(DATA_AXIS)))
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    return jax.tree.map(put, batch)

@@ -1,0 +1,141 @@
+"""Model construction for the trainers: config assembly, initialization,
+pretrained-weight conversion, and PR-checkpoint embedding for FORCE-APTAI."""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aptai_tpu.models import (
+    APTAI,
+    ForceAPTAI,
+    W2V2PR,
+    Wav2Vec2Config,
+    convert_wav2vec2_encoder,
+    convert_w2v2_pr,
+)
+from aptai_tpu.train.checkpoints import load_json, load_pytree
+
+
+def make_backbone_config(cfg_train, vocab_size: int) -> Wav2Vec2Config:
+    """HF-config-dict + overrides, the reference's recipe
+    (train/train_phoneme_recognizer.py:336-347)."""
+    cfg = Wav2Vec2Config(
+        vocab_size=vocab_size,
+        final_dropout=cfg_train.final_dropout,
+        num_hidden_layers=cfg_train.num_hidden_layers,
+        dtype=getattr(cfg_train, "dtype", "float32"),
+    )
+    if getattr(cfg_train, "ten_ms", False):
+        cfg = cfg.with_ten_ms()
+    return cfg
+
+
+def _maybe_load_pretrained(params: Dict, checkpoint: Optional[str],
+                           num_layers: int, scope: str) -> Dict:
+    """Splice converted HF torch weights into a freshly initialized tree."""
+    if not checkpoint:
+        return params
+    from aptai_tpu.models.hf_convert import load_torch_state_dict
+
+    sd = load_torch_state_dict(checkpoint)
+    converted = convert_wav2vec2_encoder(sd, num_layers)
+    params = dict(params)
+    params[scope] = converted
+    return params
+
+
+def build_pr_model(cfg_train, vocab: Dict[str, int], example_audio_len=3200,
+                   tiny=None) -> Tuple[W2V2PR, Dict, Dict]:
+    backbone = tiny if tiny is not None else make_backbone_config(
+        cfg_train, len(vocab))
+    if tiny is not None:
+        backbone = dataclasses.replace(backbone, vocab_size=len(vocab))
+    model = W2V2PR(backbone,
+                   freeze_feature_encoder=cfg_train.freeze_feature_extractor)
+    audio = jnp.zeros((1, example_audio_len), jnp.float32)
+    lengths = jnp.full((1,), example_audio_len, jnp.int32)
+    labels = jnp.full((1, 4), -100, jnp.int32)
+    variables = model.init(jax.random.PRNGKey(cfg_train.seed), audio,
+                           lengths, labels)
+    params = _maybe_load_pretrained(
+        dict(variables["params"]), cfg_train.pretrained_checkpoint,
+        backbone.num_hidden_layers, "encoder",
+    )
+    model_cfg = {"backbone": dataclasses.asdict(backbone), "vocab": vocab,
+                 "kind": "w2v2_pr"}
+    return model, params, model_cfg
+
+
+def build_aptai_model(cfg_train, vocab: Dict[str, int], example_audio_len=3200,
+                      tiny=None) -> Tuple[APTAI, Dict, Dict]:
+    backbone = tiny if tiny is not None else make_backbone_config(
+        cfg_train, len(vocab))
+    model = APTAI(
+        backbone,
+        tv_drop=getattr(cfg_train, "tv_drop", 0.1),
+        phn_drop=getattr(cfg_train, "phn_drop", 0.1),
+        num_phonemes=len(vocab),
+    )
+    audio = jnp.zeros((1, example_audio_len), jnp.float32)
+    lengths = jnp.full((1,), example_audio_len, jnp.int32)
+    t = int(backbone.feat_extract_output_lengths(np.asarray(example_audio_len)))
+    variables = model.init(
+        jax.random.PRNGKey(cfg_train.seed), audio, lengths,
+        jnp.zeros((1, t), jnp.int32), jnp.zeros((1, t, 9)),
+    )
+    params = _maybe_load_pretrained(
+        dict(variables["params"]), cfg_train.pretrained_checkpoint,
+        backbone.num_hidden_layers, "encoder",
+    )
+    model_cfg = {"backbone": dataclasses.asdict(backbone), "vocab": vocab,
+                 "kind": "aptai"}
+    return model, params, model_cfg
+
+
+def build_force_model(cfg_train, vocab: Dict[str, int],
+                      pr_model_path: Optional[str],
+                      example_audio_len=3200,
+                      tiny=None) -> Tuple[ForceAPTAI, Dict, Dict]:
+    """FORCE-APTAI over a frozen PR checkpoint
+    (reference models/force_aptai.py:60-78): the PR weights are loaded from
+    ``<pr_model_path>/best-model-ckpt`` and spliced under ``w2v2_pr``."""
+    if tiny is not None:
+        backbone = tiny
+    else:
+        pr_cfg = load_json(Path(pr_model_path) / "best-model-ckpt"
+                           / "model_cfg.json")
+        backbone = Wav2Vec2Config(**{
+            k: tuple(v) if isinstance(v, list) else v
+            for k, v in pr_cfg["backbone"].items()
+        })
+    model = ForceAPTAI(backbone, vocab_size=len(vocab))
+    audio = jnp.zeros((1, example_audio_len), jnp.float32)
+    lengths = jnp.full((1,), example_audio_len, jnp.int32)
+    variables = model.init(
+        jax.random.PRNGKey(cfg_train.seed), audio, lengths,
+        jnp.zeros((1, 200, 9)),
+    )
+    params = dict(variables["params"])
+    if pr_model_path is not None:
+        ckpt_file = Path(pr_model_path) / "best-model-ckpt" / "params.msgpack"
+        if ckpt_file.exists():
+            params["w2v2_pr"] = load_pytree(ckpt_file, params["w2v2_pr"])
+        elif (Path(pr_model_path) / "best-model-ckpt"
+              / "pytorch_model.bin").exists():
+            # reference-format torch checkpoint (pytorch_model.bin)
+            from aptai_tpu.models.hf_convert import load_torch_state_dict
+
+            sd = load_torch_state_dict(
+                str(Path(pr_model_path) / "best-model-ckpt"
+                    / "pytorch_model.bin"))
+            params["w2v2_pr"] = convert_w2v2_pr(
+                sd, backbone.num_hidden_layers)
+    model_cfg = {"backbone": dataclasses.asdict(backbone), "vocab": vocab,
+                 "kind": "force_aptai", "pr_model_path": str(pr_model_path)}
+    return model, params, model_cfg

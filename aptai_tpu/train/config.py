@@ -1,0 +1,140 @@
+"""Experiment configuration: dataclasses + CLI, mirroring the reference's
+argparse flag surface (reference train/train_phoneme_recognizer.py:50-202,
+train/train_aptai.py:39-174, train/train_force_aptai.py:39-164) so that the
+blessed launch scripts translate 1:1 (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from datetime import datetime
+from pathlib import Path
+from typing import Optional
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    """Shared trainer options (flag names match the reference)."""
+
+    exp_dir: Optional[str] = None
+    cache_dir: str = ".cache"
+    logging: bool = False
+    laptop: bool = False
+    prefix: str = ""
+
+    num_epochs: int = 160
+    num_warmup_epochs: int = 0
+    num_static_epochs: int = 0
+    batch_size: int = 4
+    learning_rate: float = 5e-4
+    lr_decay: float = 0.96
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.999
+    adam_epsilon: float = 1e-8
+    adam_weight_decay: float = 0.0
+    save_all_epochs: bool = False
+    target_metric: str = "mean_val_per"
+    target_metric_bigger_better: bool = False
+    seed: int = 0
+
+    # model
+    num_hidden_layers: int = 24
+    final_dropout: float = 0.0
+    ten_ms: bool = False
+    huggingface_model_id: str = "facebook/wav2vec2-large-xlsr-53"
+    pretrained_checkpoint: Optional[str] = None  # torch .bin to convert
+    freeze_feature_extractor: bool = False
+    dtype: str = "float32"
+
+    # parallelism (new first-class scope; reference is single-device)
+    mesh_data: int = -1
+    mesh_model: int = 1
+
+    # derived
+    date_time: str = ""
+    exp_name: str = ""
+    train_from_ckpt: bool = False
+
+    def finalize(self, task: str) -> "TrainConfig":
+        self.date_time = datetime.now().strftime("%Y-%m-%d_%H:%M:%S")
+        if self.laptop:  # debug mode truncation (reference :186-189)
+            self.num_epochs = 1
+            self.num_warmup_epochs = 1
+            self.num_static_epochs = 1
+        if self.exp_dir is None:
+            self.exp_dir = str(
+                Path("experiments") / task
+                / f"{self.date_time}_{self.exp_name or self.prefix}"
+            )
+            self.train_from_ckpt = False
+        else:
+            self.train_from_ckpt = Path(self.exp_dir).exists()
+        return self
+
+
+@dataclasses.dataclass
+class PRConfig(TrainConfig):
+    """Phoneme-recognizer trainer (reference train_phoneme_recognizer.py)."""
+
+    cp_csv_path: str = "data/CommonPhone/commonphone.csv"
+    hprc_csv_path: str = "data/HPRC_prep/hprc.csv"
+    cropping: bool = False
+    samples_per_epoch: int = 2000
+
+
+@dataclasses.dataclass
+class APTAIConfig(TrainConfig):
+    """APTAI trainer (reference train_aptai.py)."""
+
+    hprc_csv_path: str = "data/HPRC_prep/hprc.csv"
+    vocab_path: str = "vocab.json"
+    train_val_rate: str = "both"
+    target_metric: str = "val_mean_rmse"
+    tv_drop: float = 0.1
+    phn_drop: float = 0.1
+    num_epochs: int = 20
+    learning_rate: float = 1e-5
+    batch_size: int = 5
+
+
+@dataclasses.dataclass
+class ForceAPTAIConfig(TrainConfig):
+    """FORCE-APTAI trainer (reference train_force_aptai.py)."""
+
+    hprc_csv_path: str = "data/HPRC_prep/hprc.csv"
+    pr_model_path: str = "experiments/phoneme_recognizer/best"
+    vocab_path: str = "vocab.json"
+    train_val_rate: str = "N"
+    target_metric: str = "val_mean_rmse"
+    num_epochs: int = 60
+    learning_rate: float = 1e-5
+    batch_size: int = 5
+
+
+def _add_dataclass_args(parser: argparse.ArgumentParser, cls) -> None:
+    for f in dataclasses.fields(cls):
+        if f.name in ("date_time", "exp_name", "train_from_ckpt"):
+            continue
+        arg = f"--{f.name}"
+        if f.type in ("bool", bool):
+            parser.add_argument(arg, action=argparse.BooleanOptionalAction,
+                                default=f.default)
+        elif f.type in ("Optional[str]", "typing.Optional[str]"):
+            parser.add_argument(arg, type=str, default=f.default)
+        else:
+            typ = {int: int, float: float, str: str}.get(
+                {"int": int, "float": float, "str": str}.get(f.type, f.type),
+                str,
+            )
+            parser.add_argument(arg, type=typ, default=f.default)
+
+
+def parse_config(cls, task: str, argv=None):
+    parser = argparse.ArgumentParser(description=f"aptai_tpu {task} trainer")
+    _add_dataclass_args(parser, cls)
+    ns = parser.parse_args(argv)
+    cfg = cls(**{f.name: getattr(ns, f.name)
+                 for f in dataclasses.fields(cls)
+                 if hasattr(ns, f.name)})
+    return cfg.finalize(task)

@@ -1,0 +1,113 @@
+"""The shared fit() engine — one epoch/validate/checkpoint loop for all
+three workloads (replaces ~2,800 duplicated lines across the reference's
+train scripts; SURVEY.md §7.1 step 4)."""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aptai_tpu.parallel import make_mesh, shard_batch, shard_tree
+from aptai_tpu.train.checkpoints import CheckpointManager
+from aptai_tpu.train.harness import (
+    create_train_state,
+    make_train_step,
+    torch_adam,
+)
+from aptai_tpu.train.schedule import epoch_learning_rate
+
+
+def fit(
+    cfg,
+    loss_fn: Callable,
+    params,
+    train_loader,
+    validate_fn: Callable[[object, int], Dict[str, float]],
+    ckpt: CheckpointManager,
+    model_cfg: Optional[Dict] = None,
+    samples_per_epoch: Optional[int] = None,
+    log_fn: Callable[[str], None] = print,
+):
+    """Run the full training loop; returns (final_params, history).
+
+    * optimizer: torch-parity Adam with the config's betas/eps/decay
+      (reference train_phoneme_recognizer.py:360-366);
+    * LR: 3-phase epoch schedule applied per step via the lr argument;
+    * per-epoch random batch subset when ``samples_per_epoch`` is set
+      (reference train_phoneme_recognizer.py:402-414);
+    * validation + best/last checkpointing each epoch;
+    * laptop mode truncates to 1 train batch / few val files
+      (reference train_aptai.py:418-420).
+    """
+    mesh = make_mesh(data=cfg.mesh_data, model=cfg.mesh_model)
+    optimizer = torch_adam(
+        b1=cfg.adam_beta1, b2=cfg.adam_beta2, eps=cfg.adam_epsilon,
+        weight_decay=cfg.adam_weight_decay,
+    )
+    state = create_train_state(params, optimizer)
+    rng = jax.random.PRNGKey(cfg.seed)
+    subset_rng = np.random.default_rng(cfg.seed)
+    history = []
+
+    with mesh:
+        state = shard_tree(mesh, state)
+        step_fn = make_train_step(loss_fn, optimizer, mesh)
+
+        for epoch in range(cfg.num_epochs):
+            lr = epoch_learning_rate(
+                cfg.learning_rate, epoch, cfg.num_warmup_epochs,
+                cfg.num_static_epochs, cfg.lr_decay,
+            )
+            n_batches = len(train_loader)
+            if samples_per_epoch is not None:
+                epoch_steps = max(samples_per_epoch // cfg.batch_size, 1)
+                chosen = set(
+                    subset_rng.choice(n_batches,
+                                      size=min(epoch_steps, n_batches),
+                                      replace=False).tolist()
+                )
+            else:
+                chosen = None
+
+            t0 = time.perf_counter()
+            losses = []
+            for batch_idx, batch in enumerate(train_loader):
+                if chosen is not None and batch_idx not in chosen:
+                    continue
+                if cfg.laptop and len(losses) >= 1:
+                    break
+                batch.pop("batch_pad_mask", None)
+                sbatch = shard_batch(mesh, batch)
+                state, metrics = step_fn(state, sbatch, rng, jnp.float32(lr))
+                losses.append(float(metrics["loss"]))
+            train_time = time.perf_counter() - t0
+
+            params_host = jax.tree.map(np.asarray, state.params)
+            val_logs = validate_fn(params_host, epoch)
+            improved = ckpt.update(
+                epoch, val_logs, params_host,
+                opt_state=jax.tree.map(np.asarray, state.opt_state),
+                step=int(state.step), model_cfg=model_cfg,
+            )
+            entry = {
+                "epoch": epoch,
+                "lr": lr,
+                "mean_train_loss": float(np.mean(losses)) if losses else None,
+                "train_seconds": train_time,
+                "improved": improved,
+                **val_logs,
+            }
+            history.append(entry)
+            log_fn(
+                f"epoch {epoch + 1}/{cfg.num_epochs} lr={lr:.2e} "
+                f"train_loss={entry['mean_train_loss']} "
+                + " ".join(f"{k}={v:.4f}" for k, v in val_logs.items()
+                           if isinstance(v, float))
+                + (" *best*" if improved else "")
+            )
+
+    return jax.tree.map(np.asarray, state.params), history

@@ -123,6 +123,8 @@ def tvs_rmse(tvs_gt: np.ndarray, tvs_pred: np.ndarray) -> Dict[str, float]:
 
 
 def _pearsonr(x: np.ndarray, y: np.ndarray) -> float:
+    if np.std(x) == 0 or np.std(y) == 0:
+        return 0.0  # undefined for constant series; report no correlation
     from scipy.stats import pearsonr
 
     return float(pearsonr(x, y)[0])

