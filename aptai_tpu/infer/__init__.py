@@ -1,0 +1,16 @@
+"""User-facing inference APIs: the reference's eager batch-1 helpers
+rebuilt as jit-compiled, batched TPU predictors, plus long-audio streaming."""
+
+from aptai_tpu.infer.api import (
+    APTAIPredictor,
+    ForceAPTAIPredictor,
+    W2V2PRPredictor,
+)
+from aptai_tpu.infer.streaming import StreamingAPTAI
+
+__all__ = [
+    "APTAIPredictor",
+    "ForceAPTAIPredictor",
+    "W2V2PRPredictor",
+    "StreamingAPTAI",
+]

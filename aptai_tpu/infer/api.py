@@ -1,0 +1,193 @@
+"""Inference predictors with the reference's output dict schemas.
+
+Each predictor wraps (model, params) in a jitted forward with bucketed
+static shapes; single-utterance entry points keep the exact output contracts
+of the reference (SURVEY.md §3.4) while ``*_batch`` variants deliver the
+≥20×-real-time batched throughput path:
+
+  * :class:`APTAIPredictor.get_aptai_output`   ← models/aptai.py:125-179
+  * :class:`ForceAPTAIPredictor.get_faptai_output` / ``get_alignment``
+                                               ← models/force_aptai.py:188-322
+  * :class:`W2V2PRPredictor.get_embeddings` / ``get_ctc_logits`` /
+    ``predict_phonemes_durations`` / ``pred_phn_seq``
+                                               ← models/w2v2_pr.py:124-277
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aptai_tpu import SAMPLE_RATE, TV_ORDER
+from aptai_tpu.data.vocab import ids_to_phonemes
+from aptai_tpu.train.evaluate import decode_best
+from aptai_tpu.decode.beam import beam_search
+from aptai_tpu.decode.native import beam_search_native
+
+AUDIO_BUCKET = 16_000
+
+
+def _bucket(n: int, bucket: int = AUDIO_BUCKET) -> int:
+    return max(int(math.ceil(n / bucket)) * bucket, bucket)
+
+
+def _prepare(wavs: Sequence[np.ndarray]):
+    lengths = np.asarray([len(w) for w in wavs], np.int32)
+    width = _bucket(int(lengths.max()))
+    audio = np.zeros((len(wavs), width), np.float32)
+    for i, w in enumerate(wavs):
+        audio[i, : len(w)] = np.asarray(w, np.float32)
+    return jnp.asarray(audio), jnp.asarray(lengths)
+
+
+def _tv_dict(tvs: np.ndarray) -> Dict[str, List[float]]:
+    """(T, 9) → per-TV dict of lists (reference models/aptai.py:152-172)."""
+    return {k: tvs[:, i].tolist() for i, k in enumerate(TV_ORDER)}
+
+
+def _decode_with_times(log_probs: np.ndarray):
+    nat = beam_search_native(log_probs)
+    if nat is not None:
+        return nat
+    hyp = beam_search(log_probs)[0]
+    return list(hyp.tokens), list(hyp.timesteps)
+
+
+class APTAIPredictor:
+    def __init__(self, model, params):
+        self.model = model
+        self.params = params
+        self._fwd = jax.jit(
+            lambda p, a, l: model.apply({"params": p}, a, l, method="predict")
+        )
+
+    def predict_batch(self, wavs: Sequence[np.ndarray]) -> Dict:
+        audio, lengths = _prepare(wavs)
+        return self._fwd(self.params, audio, lengths)
+
+    def get_aptai_output(self, wav) -> Dict:
+        """Single-utterance dict, schema of reference models/aptai.py:174-179
+        (probs transposed to (V, T) like the reference's ``.T``)."""
+        out = self.predict_batch([np.asarray(wav, np.float32)])
+        n = int(out["frame_lengths"][0])
+        probs = np.asarray(out["phn_fc_probs"])[0, :n]
+        logits = np.asarray(out["phn_fc_logits"])[0, :n]
+        pred = np.asarray(out["phn_fc_pred"])[0, :n]
+        tvs = np.asarray(out["tvs_pred"])[0, :n]
+        return {
+            "phn_fc_probs": probs.T,
+            "phn_fc_logits": logits,
+            "phn_fc_pred": pred,
+            "tvs_pred": _tv_dict(tvs),
+        }
+
+
+class ForceAPTAIPredictor:
+    def __init__(self, model, params):
+        self.model = model
+        self.params = params
+        self._fwd = jax.jit(
+            lambda p, a, l: model.apply({"params": p}, a, l, method="predict")
+        )
+        self._align = jax.jit(
+            lambda p, a, l: model.apply({"params": p}, a, l,
+                                        method="get_alignment")
+        )
+
+    def predict_batch(self, wavs: Sequence[np.ndarray]) -> Dict:
+        audio, lengths = _prepare(wavs)
+        return self._fwd(self.params, audio, lengths)
+
+    def get_faptai_output(self, wav) -> Dict:
+        """Schema of reference models/force_aptai.py:316-322."""
+        out = self.predict_batch([np.asarray(wav, np.float32)])
+        n = int(out["frame_lengths"][0])
+        s = int(out["phn_seq_lengths"][0])
+        tvs = np.asarray(out["tvs_pred"])[0, :n]
+        return {
+            "tvs_pred": _tv_dict(tvs),
+            "pred_frame_phns": np.asarray(out["pred_frame_phns"])[0, :n].tolist(),
+            "pred_ctc_phn_seq": np.asarray(out["pred_ctc_phn_seq"])[0, :s].tolist(),
+            "hidden_alignment": np.asarray(out["hidden_alignment"])[0, :n],
+            "hidden_tvs": np.asarray(out["hidden_tvs"])[0, :n],
+        }
+
+    def get_alignment(self, wav) -> Dict:
+        """(phonemes × frames) log-softmax alignment
+        (reference models/force_aptai.py:188-236)."""
+        audio, lengths = _prepare([np.asarray(wav, np.float32)])
+        out = self._align(self.params, audio, lengths)
+        n = int(out["frame_lengths"][0])
+        s = int(out["phn_seq_lengths"][0])
+        att = np.asarray(out["alignment"])[0, :n, :s]
+        return {"alignment": att.T}
+
+
+class W2V2PRPredictor:
+    def __init__(self, model, params, vocab: Optional[Dict[str, int]] = None):
+        self.model = model
+        self.params = params
+        self.vocab = vocab
+        self._encode = jax.jit(
+            lambda p, a, l: model.apply({"params": p}, a, l, method="encode")
+        )
+
+    def encode_batch(self, wavs: Sequence[np.ndarray]) -> Dict:
+        audio, lengths = _prepare(wavs)
+        return self._encode(self.params, audio, lengths)
+
+    def get_embeddings(self, wavs: Sequence[np.ndarray]) -> Dict:
+        """Reference models/w2v2_pr.py:124-167 contract: conv features,
+        final hidden (B, H, T), logits (B, V, T), beam-decoded sequences,
+        frame lengths.  Decoding is the host beam search at eval time."""
+        out = self.encode_batch(wavs)
+        frame_lengths = np.asarray(out["frame_lengths"])
+        logits = np.asarray(out["phoneme_logits"], np.float32)
+        log_probs = jax.nn.log_softmax(jnp.asarray(logits), axis=-1)
+        log_probs = np.asarray(log_probs)
+        seqs = [
+            decode_best(log_probs[b, : frame_lengths[b]])
+            for b in range(len(wavs))
+        ]
+        return {
+            "features_hidden": np.asarray(out["features_hidden"]).transpose(0, 2, 1),
+            "last_transf_hidden": np.asarray(
+                out["last_transf_hidden"]).transpose(0, 2, 1),
+            "phoneme_logits": logits.transpose(0, 2, 1),
+            "phn_pred_seq_idx": [np.asarray(s) for s in seqs],
+            "frame_seq_lens": frame_lengths,
+        }
+
+    def get_ctc_logits(self, wav) -> np.ndarray:
+        """Reference models/w2v2_pr.py:170-188: (T, V) logits."""
+        out = self.encode_batch([np.asarray(wav, np.float32)])
+        n = int(out["frame_lengths"][0])
+        return np.asarray(out["phoneme_logits"])[0, :n]
+
+    def predict_phonemes_durations(self, wav, vocab=None) -> Dict:
+        """Reference models/w2v2_pr.py:191-235: beam tokens + IPA + start
+        times in seconds via ``frame_sec_ratio = len(wav)/T/16000``."""
+        vocab = vocab or self.vocab
+        wav = np.asarray(wav, np.float32)
+        out = self.encode_batch([wav])
+        n = int(out["frame_lengths"][0])
+        logits = np.asarray(out["phoneme_logits"])[0, :n]
+        log_probs = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), -1))
+        tokens, times = _decode_with_times(log_probs)
+        frame_sec_ratio = len(wav) / n / SAMPLE_RATE
+        return {
+            "phn_seq_idx": np.asarray(tokens),
+            "phn_seq_ipa": ids_to_phonemes(vocab, tokens) if vocab else None,
+            "phn_seq_dur": [t * frame_sec_ratio for t in times],
+        }
+
+    def pred_phn_seq(self, wav, vocab=None) -> Dict:
+        """Reference models/w2v2_pr.py:238-277."""
+        out = self.predict_phonemes_durations(wav, vocab)
+        return {"phn_seq_idx": out["phn_seq_idx"],
+                "phn_seq_ipa": out["phn_seq_ipa"]}

@@ -47,17 +47,21 @@ def main():
     @jax.jit
     def forward(params, audio, lengths):
         out = model.apply({"params": params}, audio, lengths, method="predict")
-        return out["tvs_pred"], out["phn_fc_pred"]
+        # scalar-reduced outputs: forces full execution while keeping the
+        # host transfer negligible (the axon tunnel's block_until_ready does
+        # not actually force remote execution; a value fetch does)
+        return (jnp.sum(out["tvs_pred"]),
+                jnp.sum(out["phn_fc_pred"].astype(jnp.float32)))
 
     # warmup / compile
     for _ in range(warmup):
-        tv, phn = forward(params, audio, lengths)
-    jax.block_until_ready((tv, phn))
+        a, b = forward(params, audio, lengths)
+        _ = float(a) + float(b)
 
     t0 = time.perf_counter()
     for _ in range(iters):
-        tv, phn = forward(params, audio, lengths)
-    jax.block_until_ready((tv, phn))
+        a, b = forward(params, audio, lengths)
+        _ = float(a)
     dt = time.perf_counter() - t0
 
     audio_seconds = batch * seconds * iters

@@ -1,0 +1,153 @@
+"""Inference predictors: output schemas (reference contract), batched vs
+single consistency, streaming stitching."""
+
+import numpy as np
+import jax
+import pytest
+
+from aptai_tpu import TV_ORDER
+from aptai_tpu.infer import (
+    APTAIPredictor,
+    ForceAPTAIPredictor,
+    StreamingAPTAI,
+    W2V2PRPredictor,
+)
+from aptai_tpu.models import APTAI, ForceAPTAI, W2V2PR, tiny_config
+
+
+@pytest.fixture(scope="module")
+def models():
+    import jax.numpy as jnp
+
+    cfg = tiny_config()
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(rng.standard_normal((1, 3200)).astype(np.float32))
+    lens = jnp.asarray(np.array([3200], np.int32))
+
+    aptai = APTAI(cfg, num_phonemes=11)
+    av = aptai.init(jax.random.PRNGKey(0), audio, lens, method="predict")
+
+    pr = W2V2PR(cfg)
+    pv = pr.init(jax.random.PRNGKey(0), audio, lens, method="encode")
+
+    force = ForceAPTAI(cfg, vocab_size=cfg.vocab_size)
+    fv = force.init(jax.random.PRNGKey(0), audio, lens, method="predict")
+    return (aptai, av["params"]), (pr, pv["params"]), (force, fv["params"])
+
+
+def test_aptai_output_schema(models, rng):
+    (aptai, ap), _, _ = models
+    pred = APTAIPredictor(aptai, ap)
+    wav = rng.standard_normal(5000).astype(np.float32)
+    out = pred.get_aptai_output(wav)
+    t = out["phn_fc_logits"].shape[0]
+    assert out["phn_fc_probs"].shape == (11, t)  # transposed like reference
+    assert out["phn_fc_pred"].shape == (t,)
+    assert set(out["tvs_pred"]) == set(TV_ORDER)
+    assert len(out["tvs_pred"]["LA"]) == t
+    # only the true frames are returned despite bucketing
+    expected_t = int(aptai.cfg.feat_extract_output_lengths(np.asarray(5000)))
+    assert t == expected_t
+
+
+def test_aptai_batch_matches_single(models, rng):
+    (aptai, ap), _, _ = models
+    pred = APTAIPredictor(aptai, ap)
+    wavs = [rng.standard_normal(4000).astype(np.float32),
+            rng.standard_normal(6500).astype(np.float32)]
+    batch = pred.predict_batch(wavs)
+    single = pred.get_aptai_output(wavs[0])
+    n0 = int(batch["frame_lengths"][0])
+    np.testing.assert_allclose(
+        np.asarray(batch["phn_fc_logits"])[0, :n0],
+        single["phn_fc_logits"], rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_pr_predictor_contracts(models, rng):
+    _, (pr, pp), _ = models
+    vocab = {"(blank)": 0, "(...)": 1, **{c: i + 2 for i, c in
+                                          enumerate("abcdefghi")}}
+    pred = W2V2PRPredictor(pr, pp, vocab)
+    wav = rng.standard_normal(4800).astype(np.float32)
+
+    logits = pred.get_ctc_logits(wav)
+    t = int(pr.cfg.feat_extract_output_lengths(np.asarray(4800)))
+    assert logits.shape == (t, pr.cfg.vocab_size)
+
+    emb = pred.get_embeddings([wav, wav])
+    assert emb["last_transf_hidden"].shape[0] == 2
+    assert emb["last_transf_hidden"].shape[1] == pr.cfg.hidden_size  # (B,H,T)
+    assert emb["phoneme_logits"].shape[1] == pr.cfg.vocab_size
+    assert len(emb["phn_pred_seq_idx"]) == 2
+    np.testing.assert_array_equal(emb["frame_seq_lens"], [t, t])
+
+    dur = pred.predict_phonemes_durations(wav)
+    assert len(dur["phn_seq_idx"]) == len(dur["phn_seq_dur"])
+    assert dur["phn_seq_ipa"] is None or len(dur["phn_seq_ipa"]) == len(
+        dur["phn_seq_idx"])
+    for d in dur["phn_seq_dur"]:
+        assert 0 <= d <= len(wav) / 16000 + 0.1
+
+    seq = pred.pred_phn_seq(wav)
+    np.testing.assert_array_equal(seq["phn_seq_idx"], dur["phn_seq_idx"])
+
+
+def test_force_predictor_contracts(models, rng):
+    _, _, (force, fp) = models
+    pred = ForceAPTAIPredictor(force, fp)
+    wav = rng.standard_normal(5600).astype(np.float32)
+    out = pred.get_faptai_output(wav)
+    t = len(out["pred_frame_phns"])
+    assert set(out["tvs_pred"]) == set(TV_ORDER)
+    assert len(out["tvs_pred"]["TBCD"]) == t
+    align = pred.get_alignment(wav)
+    n_phn = len(out["pred_ctc_phn_seq"])
+    assert align["alignment"].shape == (n_phn, t)
+    # rows are log-probs over phonemes: exp sums to 1 along phoneme axis
+    col = np.exp(align["alignment"][:, 0])
+    assert col.sum() == pytest.approx(1.0, abs=1e-3)
+
+
+def test_streaming_tiling_is_exact(models):
+    """Stitched segments tile the absolute frame axis exactly: frame counts
+    line up with the closed-form length, and each retained segment equals
+    the per-chunk forward of its window (stitching machinery correctness —
+    context-dependent attention means cross-chunk values legitimately differ
+    from a single full-context forward)."""
+    (aptai, ap), _, _ = models
+    rng = np.random.default_rng(1)
+    wav = rng.standard_normal(16000 * 7).astype(np.float32) * 0.1
+
+    stream = StreamingAPTAI(aptai, ap, chunk_seconds=3.0, overlap_seconds=1.0)
+    out_s = stream.predict(wav)
+
+    t_stream = len(out_s["phn_fc_pred"])
+    # total frames: last chunk end = offset(last) + frames(last chunk)
+    frame_hop = int(np.prod(aptai.cfg.conv_stride))
+    starts = list(range(0, len(wav) - stream.overlap, stream.hop))
+    last_t = int(aptai.cfg.feat_extract_output_lengths(
+        np.asarray(len(wav) - starts[-1])))
+    expect = starts[-1] // frame_hop + last_t
+    assert t_stream == expect
+
+    # first chunk's retained prefix must equal its standalone forward
+    pred = APTAIPredictor(aptai, ap)
+    chunk0 = pred.get_aptai_output(wav[: stream.chunk])
+    keep = len(out_s["tvs_pred"]["LA"]) and (
+        int(aptai.cfg.feat_extract_output_lengths(np.asarray(stream.chunk)))
+        - int(aptai.cfg.feat_extract_output_lengths(np.asarray(stream.overlap)))
+        // 2
+    )
+    la_s = np.asarray(out_s["tvs_pred"]["LA"][:keep])
+    la_c = np.asarray(chunk0["tvs_pred"]["LA"][:keep])
+    np.testing.assert_allclose(la_s, la_c, rtol=1e-4, atol=1e-5)
+
+
+def test_streaming_short_audio_passthrough(models):
+    (aptai, ap), _, _ = models
+    wav = np.random.default_rng(2).standard_normal(8000).astype(np.float32)
+    stream = StreamingAPTAI(aptai, ap, chunk_seconds=3.0, overlap_seconds=1.0)
+    out = stream.predict(wav)
+    t = int(aptai.cfg.feat_extract_output_lengths(np.asarray(8000)))
+    assert len(out["phn_fc_pred"]) == t
