@@ -31,6 +31,7 @@ def fit(
     model_cfg: Optional[Dict] = None,
     samples_per_epoch: Optional[int] = None,
     log_fn: Callable[[str], None] = print,
+    logger=None,
 ):
     """Run the full training loop; returns (final_params, history).
 
@@ -102,6 +103,8 @@ def fit(
                 **val_logs,
             }
             history.append(entry)
+            if logger is not None:
+                logger.log(entry, step=int(state.step))
             log_fn(
                 f"epoch {epoch + 1}/{cfg.num_epochs} lr={lr:.2e} "
                 f"train_loss={entry['mean_train_loss']} "

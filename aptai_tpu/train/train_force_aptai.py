@@ -20,6 +20,7 @@ from aptai_tpu.train.checkpoints import CheckpointManager, save_json
 from aptai_tpu.train.config import ForceAPTAIConfig, parse_config
 from aptai_tpu.train.evaluate import test_tv, validate_tv
 from aptai_tpu.train.loop import fit
+from aptai_tpu.utils.logging import RunLogger
 from aptai_tpu.train.metrics import aggregate_mean_std, dict_to_csv
 
 
@@ -109,9 +110,12 @@ def run_speaker(cfg, hprc_df, vocab, test_spk, tiny_backbone=None):
         exp_dir / f"best-model-ckpt-{test_spk}", cfg.target_metric,
         bigger_is_better=cfg.target_metric_bigger_better,
     )
+    logger = RunLogger(Path(cfg.exp_dir), "FORCE_APTAI",
+                       run_name=f"{cfg.prefix}_{test_spk}",
+                       use_wandb=cfg.logging)
     final_params, history = fit(
         cfg, force_loss_fn(model), params, train_dl, validate, ckpt,
-        model_cfg=model_cfg,
+        model_cfg=model_cfg, logger=logger,
     )
 
     best = ckpt.restore_best(final_params)

@@ -32,6 +32,7 @@ from aptai_tpu.train.checkpoints import CheckpointManager, save_json
 from aptai_tpu.train.config import PRConfig, parse_config
 from aptai_tpu.train.evaluate import validate_pr
 from aptai_tpu.train.loop import fit
+from aptai_tpu.utils.logging import init_logger
 
 
 def make_loaders(cfg, df, vocab):
@@ -105,10 +106,12 @@ def run(cfg: PRConfig, tiny_backbone=None):
         bigger_is_better=cfg.target_metric_bigger_better,
         save_all_epochs=cfg.save_all_epochs,
     )
+    logger = init_logger(cfg, "phoneme_recognizer")
     final_params, history = fit(
         cfg, pr_loss_fn(model), params, train_dl, validate, ckpt,
         model_cfg=model_cfg,
         samples_per_epoch=cfg.samples_per_epoch,
+        logger=logger,
     )
 
     # test: best checkpoint on CP-test + HPRC N/F (reference :687-725)

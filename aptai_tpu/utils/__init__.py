@@ -1,0 +1,14 @@
+"""Utilities: structured run logging, profiling hooks, tree helpers."""
+
+from aptai_tpu.utils.logging import RunLogger, init_logger
+from aptai_tpu.utils.profiling import StepTimer, trace_profile
+from aptai_tpu.utils.trees import param_count, tree_bytes
+
+__all__ = [
+    "RunLogger",
+    "init_logger",
+    "StepTimer",
+    "trace_profile",
+    "param_count",
+    "tree_bytes",
+]
