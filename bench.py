@@ -19,6 +19,10 @@ import numpy as np
 
 
 def main():
+    from aptai_tpu.utils.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()
+
     import jax
     import jax.numpy as jnp
 
