@@ -330,6 +330,76 @@ def phoneme_frame_labels(timestamps: List[float], phoneme_ids: List[int],
 
 
 # ---------------------------------------------------------------------------
+# Acoustic feature prep (mspec / mfcc / F0) + auxiliary smoothing
+# ---------------------------------------------------------------------------
+
+def compute_utterance_mspec(wav_16k: np.ndarray) -> np.ndarray:
+    """Normalized log-mel spectrogram, ``utility.compute_mspec`` contract
+    (reference utility.py:84-95) → (frames, 80)."""
+    import jax.numpy as jnp
+
+    from aptai_tpu.ops.signal import melspectrogram
+
+    return np.asarray(melspectrogram(jnp.asarray(wav_16k, jnp.float32)))
+
+
+def mspec_znorm(mspec: np.ndarray) -> np.ndarray:
+    """Per-utterance per-bin z-score (reference data/dataset_hprc.py:1754-1797)."""
+    mean = np.mean(mspec, axis=0)
+    std = np.std(mspec, axis=0)
+    return (mspec - mean) / std
+
+
+def compute_utterance_mfcc(wav_16k: np.ndarray, n_mfcc: int = 13) -> np.ndarray:
+    """MFCCs with the reference's ~49 Hz hop (``int(16000/49) − 4`` = 322,
+    reference data/dataset_hprc.py:1800-1847) → (n_mfcc, frames) like librosa."""
+    import jax.numpy as jnp
+
+    from aptai_tpu.ops.signal import mfcc
+
+    hop = int(SAMPLE_RATE / 49) - 4
+    out = np.asarray(mfcc(jnp.asarray(wav_16k, jnp.float32), n_mfcc=n_mfcc,
+                          n_fft=1024, hop_length=hop, fmin=90.0, fmax=7600.0))
+    return out.T
+
+
+def compute_f0_rapt(wav_16k: np.ndarray, speaker: str,
+                    hop_length: int = 256) -> Optional[np.ndarray]:
+    """RAPT F0 with the reference's per-gender ranges
+    (reference data/dataset_hprc.py:1935-2003; M: 50–250 Hz, F: 100–600 Hz).
+    Requires ``pysptk`` (not in the base image) — returns None when absent."""
+    try:
+        import pysptk as sptk
+    except ImportError:
+        return None
+    lo, hi = (50, 250) if speaker.startswith("M") else (100, 600)
+    return sptk.rapt((np.asarray(wav_16k, np.float32) * 32768), SAMPLE_RATE,
+                     hop_length, min=lo, max=hi, otype=1)
+
+
+def gaussian_smooth_tvs(tvs: Dict[str, np.ndarray],
+                        sigma: float = 2.0) -> Dict[str, np.ndarray]:
+    """Gaussian TV smoothing variant (reference data/dataset_hprc.py:2535-2577
+    ``last_step_tv_smoothing``, σ default 2)."""
+    from scipy.ndimage import gaussian_filter1d
+
+    return {k: gaussian_filter1d(np.asarray(v, np.float64), sigma)
+            for k, v in tvs.items()}
+
+
+def audio_duration_range(csv_path, path_column: str = "path_wav"):
+    """(min, max) audio duration in seconds across a manifest —
+    ``utility.min_audio_duration`` / ``max_audio_duration``
+    (reference utility.py:248-294, incl. fixing the max-variant's
+    undefined-variable bug)."""
+    from aptai_tpu.data.audio_io import load_wav_16k
+
+    df = pd.read_csv(csv_path)
+    durations = [len(load_wav_16k(p)) / SAMPLE_RATE for p in df[path_column]]
+    return min(durations), max(durations)
+
+
+# ---------------------------------------------------------------------------
 # 3. MAUS BAS web service client (network; offline-gated)
 # ---------------------------------------------------------------------------
 
