@@ -37,6 +37,7 @@ class TrainConfig:
     target_metric: str = "mean_val_per"
     target_metric_bigger_better: bool = False
     seed: int = 0
+    detect_anomaly: bool = False  # per-step NaN/Inf guard (forces a sync)
 
     # model
     num_hidden_layers: int = 24

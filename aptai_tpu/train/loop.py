@@ -50,6 +50,21 @@ def fit(
         weight_decay=cfg.adam_weight_decay,
     )
     state = create_train_state(params, optimizer)
+    start_epoch = 0
+    if getattr(cfg, "train_from_ckpt", False) and (
+        ckpt.last_dir / "params.msgpack"
+    ).exists():
+        # full resume: params + optimizer moments + best-metric watermark
+        # (the reference leaves this unimplemented for the APTAI trainers,
+        # SURVEY.md §5.3; first-class here)
+        r_params, r_opt, meta = ckpt.restore_last(state.params,
+                                                  state.opt_state)
+        state = state.replace(params=r_params,
+                              opt_state=r_opt or state.opt_state,
+                              step=jnp.asarray(meta["step"], jnp.int32))
+        start_epoch = int(meta["epoch"]) + 1
+        log_fn(f"resumed from epoch {meta['epoch']} "
+               f"(best {ckpt.target_metric}={ckpt.best_value})")
     rng = jax.random.PRNGKey(cfg.seed)
     subset_rng = np.random.default_rng(cfg.seed)
     history = []
@@ -58,7 +73,7 @@ def fit(
         state = shard_tree(mesh, state)
         step_fn = make_train_step(loss_fn, optimizer, mesh)
 
-        for epoch in range(cfg.num_epochs):
+        for epoch in range(start_epoch, cfg.num_epochs):
             lr = epoch_learning_rate(
                 cfg.learning_rate, epoch, cfg.num_warmup_epochs,
                 cfg.num_static_epochs, cfg.lr_decay,
@@ -84,7 +99,18 @@ def fit(
                 batch.pop("batch_pad_mask", None)
                 sbatch = shard_batch(mesh, batch)
                 state, metrics = step_fn(state, sbatch, rng, jnp.float32(lr))
-                losses.append(float(metrics["loss"]))
+                loss_val = float(metrics["loss"])
+                if getattr(cfg, "detect_anomaly", False) and not np.isfinite(
+                    loss_val
+                ):
+                    # failure-detection analog of the reference's always-on
+                    # torch.autograd.set_detect_anomaly (train_aptai.py:405)
+                    raise FloatingPointError(
+                        f"non-finite loss {loss_val} at epoch {epoch} "
+                        f"batch {batch_idx}: "
+                        + str({k: float(v) for k, v in metrics.items()})
+                    )
+                losses.append(loss_val)
             train_time = time.perf_counter() - t0
 
             params_host = jax.tree.map(np.asarray, state.params)
