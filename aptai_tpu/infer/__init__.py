@@ -7,10 +7,12 @@ from aptai_tpu.infer.api import (
     W2V2PRPredictor,
 )
 from aptai_tpu.infer.streaming import StreamingAPTAI
+from aptai_tpu.infer.server import MicroBatcher
 
 __all__ = [
     "APTAIPredictor",
     "ForceAPTAIPredictor",
     "W2V2PRPredictor",
     "StreamingAPTAI",
+    "MicroBatcher",
 ]

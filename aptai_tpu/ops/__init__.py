@@ -25,6 +25,7 @@ from aptai_tpu.ops.signal import (
     interpolate_nan,
 )
 from aptai_tpu.ops.attention import multi_head_attention, flash_attention
+from aptai_tpu.ops.align import dtw_force_align, viterbi_align
 
 __all__ = [
     "lowpass_fir_taps",
@@ -46,4 +47,6 @@ __all__ = [
     "interpolate_nan",
     "multi_head_attention",
     "flash_attention",
+    "dtw_force_align",
+    "viterbi_align",
 ]

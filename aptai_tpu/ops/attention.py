@@ -98,7 +98,11 @@ def flash_attention(q, k, v, lengths=None):
     scale = 1.0 / (d ** 0.5)
     if lengths is None:
         lengths = jnp.full((b,), t, jnp.int32)
-    t_padded = _round_up(t, max(_Q_BLOCK, _K_BLOCK))
+    t_padded = _round_up(t, _K_BLOCK)
+    # larger query tiles amortize per-grid-cell overhead at speech-encoder
+    # sequence lengths (grid = B·H cells when T ≤ 512)
+    q_block = min(t_padded, 512)
+    t_padded = _round_up(t_padded, q_block)
     pad = t_padded - t
 
     def to_bh(x):  # (B, T, H, D) -> (B*H, Tp, D)
@@ -110,16 +114,16 @@ def flash_attention(q, k, v, lengths=None):
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b * h, t_padded // _Q_BLOCK),
+        grid=(b * h, t_padded // q_block),
         in_specs=[
-            pl.BlockSpec((None, _Q_BLOCK, d), lambda i, j, lens: (i, j, 0),
+            pl.BlockSpec((None, q_block, d), lambda i, j, lens: (i, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, t_padded, d), lambda i, j, lens: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, t_padded, d), lambda i, j, lens: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((None, _Q_BLOCK, d), lambda i, j, lens: (i, j, 0),
+        out_specs=pl.BlockSpec((None, q_block, d), lambda i, j, lens: (i, j, 0),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(

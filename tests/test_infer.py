@@ -151,3 +151,27 @@ def test_streaming_short_audio_passthrough(models):
     out = stream.predict(wav)
     t = int(aptai.cfg.feat_extract_output_lengths(np.asarray(8000)))
     assert len(out["phn_fc_pred"]) == t
+
+
+def test_micro_batcher(models):
+    from aptai_tpu.infer import MicroBatcher
+
+    (aptai, ap), _, _ = models
+    pred = APTAIPredictor(aptai, ap)
+    mb = MicroBatcher(pred.predict_batch, max_batch_size=4)
+    rng = np.random.default_rng(3)
+    wavs = [rng.standard_normal(3200 + 800 * i).astype(np.float32)
+            for i in range(3)]
+    # synchronous core
+    results = mb.run_batch(wavs)
+    assert len(results) == 3
+    for i, r in enumerate(results):
+        t = int(aptai.cfg.feat_extract_output_lengths(np.asarray(len(wavs[i]))))
+        assert r["tvs_pred"].shape == (t, 9)
+    # request/response path
+    mb.start()
+    futs = [mb.submit(w) for w in wavs]
+    outs = [f.result(timeout=60) for f in futs]
+    mb.stop()
+    np.testing.assert_allclose(outs[0]["tvs_pred"], results[0]["tvs_pred"],
+                               rtol=1e-4, atol=1e-5)
