@@ -49,23 +49,28 @@ def main():
     params = variables["params"]
 
     @jax.jit
-    def forward(params, audio, lengths):
-        out = model.apply({"params": params}, audio, lengths, method="predict")
-        # scalar-reduced outputs: forces full execution while keeping the
-        # host transfer negligible (the axon tunnel's block_until_ready does
-        # not actually force remote execution; a value fetch does)
-        return (jnp.sum(out["tvs_pred"]),
-                jnp.sum(out["phn_fc_pred"].astype(jnp.float32)))
+    def forward(params, audio, lengths, chain):
+        # `chain` threads a scalar dependency through iterations so the whole
+        # timed loop executes sequentially on device with ONE final host
+        # fetch (the axon tunnel executes lazily: block_until_ready does not
+        # force execution, and per-iteration fetches add ~30 ms RTT each)
+        out = model.apply(
+            {"params": params}, audio + 0.0 * chain, lengths, method="predict"
+        )
+        return (jnp.sum(out["tvs_pred"])
+                + jnp.sum(out["phn_fc_pred"].astype(jnp.float32)))
 
     # warmup / compile
+    s = jnp.float32(0.0)
     for _ in range(warmup):
-        a, b = forward(params, audio, lengths)
-        _ = float(a) + float(b)
+        s = forward(params, audio, lengths, s)
+    _ = float(s)
 
     t0 = time.perf_counter()
+    s = jnp.float32(0.0)
     for _ in range(iters):
-        a, b = forward(params, audio, lengths)
-        _ = float(a)
+        s = forward(params, audio, lengths, s)
+    _ = float(s)
     dt = time.perf_counter() - t0
 
     audio_seconds = batch * seconds * iters
