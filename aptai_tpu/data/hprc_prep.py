@@ -435,6 +435,36 @@ def maus_g2p(audio_path, txt_path, language: str = "eng") -> str:
     return et.fromstring(res.text).find("downloadLink").text
 
 
+def run_maus_alignment(prep_path, replace: bool = False,
+                       language: str = "eng") -> int:
+    """Forced-align every prepared utterance through MAUS, writing
+    ``<prep>/<spk>/phonemes/<utt>.TextGrid``
+    (reference data/dataset_hprc.py:439-472, ``hprc_phoneme``).
+    Skips files that already exist unless ``replace``; returns #downloaded.
+    Requires network access."""
+    import requests
+
+    prep_path = Path(prep_path)
+    downloaded = 0
+    for spk_dir in sorted(p for p in prep_path.iterdir() if p.is_dir()):
+        audio_dir = spk_dir / "audio"
+        if not audio_dir.exists():
+            continue
+        phn_dir = spk_dir / "phonemes"
+        phn_dir.mkdir(exist_ok=True)
+        for wav in sorted(audio_dir.glob("*.wav")):
+            target = phn_dir / (wav.stem + ".TextGrid")
+            if target.exists() and not replace:
+                continue
+            link = maus_g2p(wav, spk_dir / "text" / (wav.stem + ".txt"),
+                            language=language)
+            res = requests.get(link, allow_redirects=True, timeout=120)
+            res.raise_for_status()
+            target.write_bytes(res.content)
+            downloaded += 1
+    return downloaded
+
+
 # ---------------------------------------------------------------------------
 # 8. Manifest
 # ---------------------------------------------------------------------------

@@ -193,3 +193,28 @@ def test_zscore_utterance():
 def test_speaker_onehot():
     v = speaker_onehot("F01")
     assert v.shape == (8,) and v[4] == 1.0 and v.sum() == 1.0
+
+
+def test_run_logger_jsonl(tmp_path):
+    import json as _json
+
+    from aptai_tpu.utils.logging import RunLogger
+
+    logger = RunLogger(tmp_path, "proj", use_wandb=False)
+    logger.log({"loss": 1.5, "val": np.float32(0.25)}, step=3)
+    logger.log({"loss": 1.2}, step=4)
+    lines = [
+        _json.loads(l)
+        for l in (tmp_path / "metrics.jsonl").read_text().splitlines()
+    ]
+    assert lines[0]["loss"] == 1.5 and lines[0]["step"] == 3
+    assert abs(lines[0]["val"] - 0.25) < 1e-9
+    assert lines[1]["step"] == 4
+
+
+def test_param_count_and_bytes():
+    from aptai_tpu.utils import param_count, tree_bytes
+
+    tree = {"a": np.zeros((2, 3), np.float32), "b": np.zeros(5, np.int32)}
+    assert param_count(tree) == 11
+    assert tree_bytes(tree) == 6 * 4 + 5 * 4
