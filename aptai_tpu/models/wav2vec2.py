@@ -47,6 +47,54 @@ def _compute_dtype(cfg: Wav2Vec2Config):
     return jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
 
 
+class Conv1dGEMM(nn.Module):
+    """Valid-padding strided Conv1d expressed as patches + one GEMM.
+
+    Parameter layout is identical to ``nn.Conv`` (kernel ``(k, Cin, Cout)``,
+    bias ``(Cout,)``) so HF conversion is unaffected.  On TPU the explicit
+    im2col + matmul formulation keeps the feature extractor on the MXU with
+    a clean (B·T, k·Cin)×(k·Cin, Cout) contraction instead of relying on
+    XLA's conv lowering for long 1-D inputs.
+    """
+
+    features: int
+    kernel: int
+    stride: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # (B, L, Cin)
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel, cin, self.features),
+            jnp.float32,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+            if self.use_bias else None
+        )
+        t_out = (x.shape[1] - self.kernel) // self.stride + 1
+        cols = [
+            jax.lax.slice_in_dim(
+                x, j, j + (t_out - 1) * self.stride + 1, self.stride, axis=1
+            )
+            for j in range(self.kernel)
+        ]
+        patches = jnp.concatenate(cols, axis=-1).astype(self.dtype)
+        w = kernel.reshape(self.kernel * cin, self.features).astype(self.dtype)
+        out = jax.lax.dot_general(
+            patches, w, (((2,), (0,)), ((), ())),
+            preferred_element_type=self.dtype,
+        )
+        if bias is not None:
+            out = out + bias.astype(self.dtype)
+        return out
+
+
 class ConvLayerBlock(nn.Module):
     """One feature-extractor conv: Conv1d → (channel) LayerNorm → GELU."""
 
@@ -55,18 +103,31 @@ class ConvLayerBlock(nn.Module):
     kernel: int
     stride: int
 
+    use_patches_gemm: bool = False  # XLA's conv lowering benches faster here
+
     @nn.compact
     def __call__(self, x):
         dtype = _compute_dtype(self.cfg)
-        x = nn.Conv(
-            features=self.features,
-            kernel_size=(self.kernel,),
-            strides=(self.stride,),
-            padding="VALID",
-            use_bias=self.cfg.conv_bias,
-            dtype=dtype,
-            name="conv",
-        )(x)
+        if self.use_patches_gemm:
+            conv = Conv1dGEMM(
+                features=self.features,
+                kernel=self.kernel,
+                stride=self.stride,
+                use_bias=self.cfg.conv_bias,
+                dtype=dtype,
+                name="conv",
+            )
+        else:
+            conv = nn.Conv(
+                features=self.features,
+                kernel_size=(self.kernel,),
+                strides=(self.stride,),
+                padding="VALID",
+                use_bias=self.cfg.conv_bias,
+                dtype=dtype,
+                name="conv",
+            )
+        x = conv(x)
         if self.cfg.feat_extract_norm == "layer":
             x = nn.LayerNorm(epsilon=self.cfg.layer_norm_eps, dtype=dtype,
                              name="layer_norm")(x)

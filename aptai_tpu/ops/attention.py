@@ -47,31 +47,42 @@ def _xla_attention(q, k, v, lengths):
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
 
 
-def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, scale, t_padded):
-    """One (batch·head, q-block) tile of flash attention.
+def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, scale, t_padded,
+                  group):
+    """One (batch·head-group, q-block) tile of flash attention.
 
-    q_ref: (BQ, D); k_ref/v_ref: (T, D) in VMEM; len_ref: (B·H,) prefetched
-    scalars in SMEM, indexed by the grid's batch·head coordinate.
+    A *group* of ``group`` batch·head slices is processed per grid cell via
+    batched MXU matmuls — at speech-encoder sizes (T ≤ 512 ⇒ one q-block)
+    the per-cell work would otherwise be far too small to amortize grid
+    overheads.
+
+    q_ref: (G, BQ, D); k_ref/v_ref: (G, T, D) in VMEM; len_ref: (B·H,)
+    prefetched scalars in SMEM.
     """
-    length = len_ref[pl.program_id(0)]
-    q = q_ref[:].astype(jnp.float32) * scale
-    bq, d = q.shape
+    base = pl.program_id(0) * group
+
+    q = q_ref[:].astype(jnp.float32) * scale         # (G, BQ, D)
+    g_dim, bq, d = q.shape
     num_k_blocks = t_padded // _K_BLOCK
 
-    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((bq, 1), jnp.float32)
-    acc0 = jnp.zeros((bq, d), jnp.float32)
+    # ``group`` divides the head count, so every slice in this cell belongs
+    # to the same batch item ⇒ one scalar key length for the whole tile.
+    length = len_ref[base]
+
+    m0 = jnp.full((g_dim, bq, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((g_dim, bq, 1), jnp.float32)
+    acc0 = jnp.zeros((g_dim, bq, d), jnp.float32)
 
     def body(i, carry):
         m, l, acc = carry
-        kb = k_ref[pl.ds(i * _K_BLOCK, _K_BLOCK), :].astype(jnp.float32)
-        vb = v_ref[pl.ds(i * _K_BLOCK, _K_BLOCK), :].astype(jnp.float32)
+        kb = k_ref[:, pl.ds(i * _K_BLOCK, _K_BLOCK), :].astype(jnp.float32)
+        vb = v_ref[:, pl.ds(i * _K_BLOCK, _K_BLOCK), :].astype(jnp.float32)
         s = jax.lax.dot_general(
-            q, kb, (((1,), (1,)), ((), ())),
+            q, kb, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )  # (BQ, BK)
+        )  # (G, BQ, BK)
         col = i * _K_BLOCK + jax.lax.broadcasted_iota(
-            jnp.int32, (bq, _K_BLOCK), 1
+            jnp.int32, (g_dim, bq, _K_BLOCK), 2
         )
         s = jnp.where(col < length, s, NEG_INF)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
@@ -79,7 +90,7 @@ def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, scale, t_padded):
         alpha = jnp.exp(m - m_new)
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
-            p, vb, (((1,), (0,)), ((), ())),
+            p, vb, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
         return m_new, l, acc
@@ -91,8 +102,9 @@ def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, scale, t_padded):
 def flash_attention(q, k, v, lengths=None):
     """Pallas flash attention. q,k,v: (B, T, H, D); lengths: (B,) int32.
 
-    K/V for the current (batch, head) stay in VMEM; the query axis is tiled
-    by 128; the softmax runs online per key block (never materializes T×T).
+    K/V stay in VMEM per grid cell; query tiles of up to 512 rows; 8
+    batch·head slices batched per cell; online softmax per 128-key block
+    (the (T, T) matrix never exists in HBM).
     """
     b, t, h, d = q.shape
     scale = 1.0 / (d ** 0.5)
@@ -100,36 +112,49 @@ def flash_attention(q, k, v, lengths=None):
         lengths = jnp.full((b,), t, jnp.int32)
     t_padded = _round_up(t, _K_BLOCK)
     # larger query tiles amortize per-grid-cell overhead at speech-encoder
-    # sequence lengths (grid = B·H cells when T ≤ 512)
+    # sequence lengths (single q tile when T ≤ 512)
     q_block = min(t_padded, 512)
     t_padded = _round_up(t_padded, q_block)
     pad = t_padded - t
 
+    bh = b * h
+    # group must divide h so a grid cell never mixes batch items (single
+    # scalar length per tile) — heads are contiguous in the (B*H) layout
+    # group=4 at (512-query, 64-dim) tiles keeps the kernel inside the 16 MB
+    # VMEM budget incl. double buffering; larger groups OOM the stack
+    group = 1
+    for cand in (4, 2):
+        if h % cand == 0:
+            group = cand
+            break
+
     def to_bh(x):  # (B, T, H, D) -> (B*H, Tp, D)
         x = jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
-        return x.transpose(0, 2, 1, 3).reshape(b * h, t_padded, d)
+        return x.transpose(0, 2, 1, 3).reshape(bh, t_padded, d)
 
     qf, kf, vf = to_bh(q), to_bh(k), to_bh(v)
     lens_bh = jnp.repeat(lengths.astype(jnp.int32), h)  # (B*H,)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b * h, t_padded // q_block),
+        grid=(bh // group, t_padded // q_block),
         in_specs=[
-            pl.BlockSpec((None, q_block, d), lambda i, j, lens: (i, j, 0),
+            pl.BlockSpec((group, q_block, d), lambda i, j, lens: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, t_padded, d), lambda i, j, lens: (i, 0, 0),
+            pl.BlockSpec((group, t_padded, d), lambda i, j, lens: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, t_padded, d), lambda i, j, lens: (i, 0, 0),
+            pl.BlockSpec((group, t_padded, d), lambda i, j, lens: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((None, q_block, d), lambda i, j, lens: (i, j, 0),
+        out_specs=pl.BlockSpec((group, q_block, d),
+                               lambda i, j, lens: (i, j, 0),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, t_padded=t_padded),
+        functools.partial(_flash_kernel, scale=scale, t_padded=t_padded,
+                          group=group),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b * h, t_padded, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((bh, t_padded, d), q.dtype),
     )(lens_bh, qf, kf, vf)
 
     out = out.reshape(b, h, t_padded, d).transpose(0, 2, 1, 3)
