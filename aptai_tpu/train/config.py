@@ -51,6 +51,10 @@ class TrainConfig:
     # parallelism (new first-class scope; reference is single-device)
     mesh_data: int = -1
     mesh_model: int = 1
+    # backend selection: "auto" keeps the default (TPU when available);
+    # "cpu" forces host execution — the analog of the reference's
+    # cuda-else-cpu fallback (reference train_phoneme_recognizer.py:177)
+    platform: str = "auto"
 
     # derived
     date_time: str = ""
@@ -58,6 +62,10 @@ class TrainConfig:
     train_from_ckpt: bool = False
 
     def finalize(self, task: str) -> "TrainConfig":
+        if self.platform and self.platform != "auto":
+            import jax
+
+            jax.config.update("jax_platforms", self.platform)
         self.date_time = datetime.now().strftime("%Y-%m-%d_%H:%M:%S")
         if self.laptop:  # debug mode truncation (reference :186-189)
             self.num_epochs = 1

@@ -112,6 +112,12 @@ def run(cfg: APTAIConfig, tiny_backbone=None, speakers=None):
     exp_dir.mkdir(parents=True, exist_ok=True)
     save_json(exp_dir / "experiment_args.json", cfg)
 
+    if not Path(cfg.hprc_csv_path).exists():
+        raise SystemExit(
+            f"manifest not found: {cfg.hprc_csv_path} "
+            "(build it with aptai_tpu.data.hprc_prep.build_hprc_csv or "
+            "aptai_tpu.data.make_synthetic_hprc)"
+        )
     hprc_df = pd.read_csv(cfg.hprc_csv_path)
     if Path(cfg.vocab_path).exists():
         vocab = load_vocab(cfg.vocab_path)

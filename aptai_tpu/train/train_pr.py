@@ -85,6 +85,12 @@ def run(cfg: PRConfig, tiny_backbone=None):
     exp_dir.mkdir(parents=True, exist_ok=True)
     save_json(exp_dir / "experiment_args.json", cfg)
 
+    if not Path(cfg.cp_csv_path).exists():
+        raise SystemExit(
+            f"manifest not found: {cfg.cp_csv_path} "
+            "(build it with aptai_tpu.data.commonphone.commonphone_csv or "
+            "aptai_tpu.data.make_synthetic_commonphone)"
+        )
     df = pd.read_csv(cfg.cp_csv_path)
     vocab = build_vocab(df.phonemes)
     save_vocab(vocab, exp_dir / "vocab.json")
