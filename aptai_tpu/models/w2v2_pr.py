@@ -72,6 +72,34 @@ class W2V2PR(nn.Module):
             "frame_lengths": frame_lengths,
         }
 
+    def encode_layers(
+        self,
+        input_values: jnp.ndarray,
+        input_lengths: jnp.ndarray,
+        intermediate_hidden: int = 12,
+        latter_hidden: int = 20,
+        deterministic: bool = True,
+    ):
+        """Multi-layer probing — the reference's ``get_embeddings_grad``
+        (models/w2v2_pr.py:91-121): logits from the final, an intermediate,
+        and a latter layer's hidden states (HF hidden_states indexing)."""
+        hidden, frame_lengths, extract_features, all_hidden = self.encoder(
+            input_values, input_lengths, deterministic=deterministic,
+            output_hidden_states=True,
+        )
+        inter = all_hidden[intermediate_hidden]
+        latter = all_hidden[latter_hidden]
+        return {
+            "features_hidden": extract_features,
+            "last_transf_hidden": hidden,
+            "phoneme_logits_last": self.pr_head(hidden),
+            "phoneme_logits_inter": self.pr_head(inter),
+            "phoneme_logits_latter": self.pr_head(latter),
+            "intermediate_hidden": inter,
+            "latter_hidden": latter,
+            "frame_lengths": frame_lengths,
+        }
+
     def encode(
         self,
         input_values: jnp.ndarray,

@@ -307,6 +307,7 @@ class Wav2Vec2Encoder(nn.Module):
         input_values: jnp.ndarray,          # (B, L) raw 16 kHz audio
         input_lengths: Optional[jnp.ndarray] = None,  # (B,)
         deterministic: bool = True,
+        output_hidden_states: bool = False,
     ):
         cfg = self.cfg
         b, l = input_values.shape
@@ -364,10 +365,20 @@ class Wav2Vec2Encoder(nn.Module):
             if not deterministic
             else EncoderLayer
         )
+        all_hidden = [h] if output_hidden_states else None
         for i in range(cfg.num_hidden_layers):
             h = layer(cfg, name=f"layers_{i}")(h, frame_lengths, deterministic)
+            if output_hidden_states and i < cfg.num_hidden_layers - 1:
+                all_hidden.append(h)
 
         if cfg.do_stable_layer_norm:
             h = nn.LayerNorm(epsilon=cfg.layer_norm_eps,
                              dtype=_compute_dtype(cfg), name="layer_norm")(h)
+        if output_hidden_states:
+            # HF convention: entry 0 = projection output, entries 1..N-1 =
+            # layer outputs, entry N = final (post-LayerNorm) hidden state —
+            # so hidden_states[num_layers] == the encoder output, exactly
+            # like the reference's hidden_states[24] (models/aptai.py:81)
+            all_hidden.append(h)
+            return h, frame_lengths, extract_features, all_hidden
         return h, frame_lengths, extract_features

@@ -177,3 +177,26 @@ def test_aptai_predict_jits(audio_batch):
     f = jax.jit(lambda v, a, l: model.apply(v, a, l, method="predict"))
     out = f(variables, audio, lengths)
     assert np.isfinite(np.asarray(out["tvs_pred"])).all()
+
+
+def test_w2v2_pr_encode_layers_hidden_state_indexing(audio_batch):
+    """hidden_states indexing matches HF: [0]=projection, [N]=final output
+    (== encode()'s last_transf_hidden), reference w2v2_pr.py:91-121."""
+    audio, lengths = audio_batch
+    cfg = tiny_config()  # 2 layers -> hidden_states has 3 entries
+    model = W2V2PR(cfg)
+    variables = model.init(jax.random.PRNGKey(0), audio, lengths,
+                           method="encode")
+    out = model.apply(variables, audio, lengths, intermediate_hidden=1,
+                      latter_hidden=2, method="encode_layers")
+    enc = model.apply(variables, audio, lengths, method="encode")
+    np.testing.assert_allclose(
+        np.asarray(out["last_transf_hidden"]),
+        np.asarray(enc["last_transf_hidden"]), rtol=1e-5, atol=1e-6,
+    )
+    # latter_hidden=num_layers is the final (post-LN) state
+    np.testing.assert_allclose(
+        np.asarray(out["latter_hidden"]),
+        np.asarray(out["last_transf_hidden"]), rtol=1e-5, atol=1e-6,
+    )
+    assert out["phoneme_logits_inter"].shape == out["phoneme_logits_last"].shape
