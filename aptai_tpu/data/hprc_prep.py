@@ -50,6 +50,24 @@ EMA_SENSORS = ("TR", "TB", "TT", "UL", "LL", "ML", "JAW", "JAWL")
 # 1. .mat extraction
 # ---------------------------------------------------------------------------
 
+def _cell_field(cell, idx: int):
+    """Field ``idx`` of an HPRC .mat cell (NAME, SRATE, SIGNAL, ...),
+    robust to the object-array nestings different scipy/MATLAB versions
+    produce ((3,), (1,3), (3,1), np.void)."""
+    if isinstance(cell, np.void):
+        v = cell[idx]
+    else:
+        c = np.asarray(cell)
+        if c.dtype == object or c.dtype.fields:
+            c = c.reshape(-1)
+            v = c[idx] if c.dtype == object else c[0][idx]
+        else:
+            v = c[idx]
+    while isinstance(v, np.ndarray) and v.dtype == object and v.size == 1:
+        v = v.reshape(-1)[0]
+    return v
+
+
 def extract_mat(data_path, target_path=None, resample_fs: int = SAMPLE_RATE):
     """Extract audio (resampled), EMA trajectories, palate traces, and word
     transcripts from the raw HPRC .mat release
@@ -78,8 +96,10 @@ def extract_mat(data_path, target_path=None, resample_fs: int = SAMPLE_RATE):
                             pickle.dump(palate, f)
                         continue
                     data = mat[key]
-                    fs = int(np.squeeze(data[0, 0][1]))
-                    audio = np.squeeze(data[0, 0][2]).astype(np.float32)
+                    fs = int(np.squeeze(_cell_field(data[0, 0], 1)))
+                    audio = np.squeeze(
+                        np.asarray(_cell_field(data[0, 0], 2), np.float64)
+                    ).astype(np.float32)
                     audio = resample_np(audio, fs, resample_fs)
                     audio_dir = target_path / spk / "audio"
                     audio_dir.mkdir(parents=True, exist_ok=True)
@@ -91,7 +111,8 @@ def extract_mat(data_path, target_path=None, resample_fs: int = SAMPLE_RATE):
                             continue  # F02 has no ML channel (ref :351-354)
                         col = i - 1 if (spk == "F02" and sensor in
                                         ("JAW", "JAWL")) else i
-                        traj = data[0, col][2]
+                        traj = np.asarray(_cell_field(data[0, col], 2),
+                                          np.float64)
                         ema[sensor] = {
                             "x": [r[0] for r in traj],
                             "y": [r[1] for r in traj],

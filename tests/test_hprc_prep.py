@@ -1,0 +1,195 @@
+"""HPRC offline prep: TV geometry vs a literal port of the reference's
+per-sample loops, normalization variants, .mat extraction, mspec/mfcc prep."""
+
+import math
+import pickle
+
+import numpy as np
+import pytest
+
+from aptai_tpu import TV_ORDER
+from aptai_tpu.data.hprc_prep import (
+    butter_lowpass,
+    compute_tvs,
+    compute_utterance_mfcc,
+    compute_utterance_mspec,
+    extract_mat,
+    gaussian_smooth_tvs,
+    lowpass_ema_dict,
+    median_sensor_x,
+    minmax_speaker,
+    mspec_znorm,
+    speaker_stats,
+    zscore_speaker,
+    zscore_utterance,
+)
+
+
+def _reference_tvs(ema, palate, m_ll, m_tt, m_tb, m_tr):
+    """Per-sample port of reference data/dataset_hprc.py:1292-1349."""
+    n_len = len(ema["TR"]["x"])
+    out = {k: [] for k in TV_ORDER}
+    for n in range(n_len):
+        out["LA"].append(math.sqrt(
+            (ema["LL"]["x"][n] - ema["UL"]["x"][n]) ** 2
+            + (ema["LL"]["z"][n] - ema["UL"]["z"][n]) ** 2))
+        out["LP"].append(ema["LL"]["x"][n] - m_ll)
+        out["JA"].append(math.sqrt(
+            (ema["JAW"]["x"][n] - ema["UL"]["x"][n]) ** 2
+            + (ema["JAW"]["z"][n] - ema["UL"]["z"][n]) ** 2))
+        out["TTCL"].append(m_tt - ema["TT"]["x"][n])
+        out["TMCL"].append(m_tb - ema["TB"]["x"][n])
+        out["TBCL"].append(m_tr - ema["TR"]["x"][n])
+        for name, sensor in (("TTCD", "TT"), ("TMCD", "TB"), ("TBCD", "TR")):
+            cands = []
+            for x in range(-50, 0):
+                cands.append(math.sqrt(
+                    (ema[sensor]["x"][n] - x) ** 2
+                    + (ema[sensor]["z"][n] - palate["z"][(-x) - 1]) ** 2))
+            out[name].append(np.min(cands))
+    return out
+
+
+def _synthetic_ema(rng, n=25):
+    ema = {}
+    for sensor in ("TR", "TB", "TT", "UL", "LL", "JAW"):
+        ema[sensor] = {
+            "x": rng.uniform(-60, 10, n),
+            "y": rng.uniform(-5, 5, n),
+            "z": rng.uniform(-20, 5, n),
+        }
+    palate = {"z": rng.uniform(-5, 5, 60),
+              "x": np.arange(-60, 0).astype(float),
+              "y": np.zeros(60)}
+    return ema, palate
+
+
+def test_compute_tvs_matches_reference_loops(rng):
+    ema, palate = _synthetic_ema(rng)
+    medians = dict(
+        median_llx=float(np.median(ema["LL"]["x"])),
+        median_ttx=float(np.median(ema["TT"]["x"])),
+        median_tbx=float(np.median(ema["TB"]["x"])),
+        median_trx=float(np.median(ema["TR"]["x"])),
+    )
+    got = compute_tvs(ema, palate, **medians)
+    want = _reference_tvs(ema, palate, medians["median_llx"],
+                          medians["median_ttx"], medians["median_tbx"],
+                          medians["median_trx"])
+    for k in TV_ORDER:
+        np.testing.assert_allclose(got[k], want[k], rtol=1e-12, atol=1e-12)
+
+
+def test_median_sensor_x(rng):
+    files = [{"TT": {"x": rng.uniform(-10, 10, 20)}} for _ in range(3)]
+    want = np.median(np.concatenate([f["TT"]["x"] for f in files]))
+    assert median_sensor_x(files, "TT") == pytest.approx(want)
+
+
+def test_speaker_normalizations(rng):
+    tvs = {k: rng.standard_normal(40) * (i + 1) + i
+           for i, k in enumerate(TV_ORDER)}
+    smin, smax, smean, sstd = speaker_stats([tvs])
+    mm = minmax_speaker(tvs, smin, smax)
+    for k in TV_ORDER:
+        assert mm[k].min() == pytest.approx(0.0)
+        assert mm[k].max() == pytest.approx(1.0)
+    zs = zscore_speaker(tvs, smean, sstd)
+    for k in TV_ORDER:
+        assert abs(zs[k].mean()) < 1e-10
+        assert zs[k].std() == pytest.approx(1.0)
+
+
+def test_lowpass_ema_dict_handles_nans_and_palate(rng):
+    vals = rng.standard_normal(200)
+    vals[10:13] = np.nan
+    ema = {"TT": {"x": vals.copy(), "z": rng.standard_normal(200)}}
+    out = lowpass_ema_dict(ema)
+    assert np.isfinite(out["TT"]["x"]).all()
+    palate = {"z": rng.standard_normal(100)}
+    out_p = lowpass_ema_dict(palate)
+    assert np.isfinite(out_p["z"]).all()
+    # lowpass actually attenuates high frequency
+    hf = np.sin(2 * np.pi * 40 * np.arange(300) / 100)
+    sm = butter_lowpass(hf, 10, 100, 5)
+    assert np.abs(sm[50:-50]).max() < 0.05 * np.abs(hf).max()
+
+
+def test_extract_mat_roundtrip(tmp_path, rng):
+    """Build a reference-layout .mat and run the real extractor."""
+    import scipy.io
+
+    spk = "M01"
+    (tmp_path / spk / "data").mkdir(parents=True)
+    n = 120
+    fs = 44100
+    audio = (0.1 * rng.standard_normal(fs)).astype(np.float64)
+
+    def block(name, data, srate):
+        return np.array(
+            [(name, float(srate), data, "desc")],
+            dtype=[("name", "O"), ("srate", "O"), ("signal", "O"),
+                   ("desc", "O")],
+        )
+
+    key = f"{spk}_B01_S01_R01_N"
+    cells = [block("AUDIO", audio[:, None], fs)]
+    for sensor in ("TR", "TB", "TT", "UL", "LL", "ML", "JAW", "JAWL"):
+        traj = rng.standard_normal((n, 6))
+        cells.append(block(sensor, traj, 100))
+    mat = np.empty((1, 9), dtype=object)
+    for i, c in enumerate(cells):
+        mat[0, i] = c[0].reshape(1, 1) if False else c
+    # scipy stores cell arrays of structs; emulate reference indexing
+    # mat_data[0, i][2] == the signal array
+    arr = np.empty((1, 9), dtype=object)
+    for i, c in enumerate(cells):
+        entry = np.empty((3,), dtype=object)
+        entry[0] = c[0][0]
+        entry[1] = np.array([[fs if i == 0 else 100]])
+        entry[2] = c[0][2]
+        arr[0, i] = entry
+    scipy.io.savemat(tmp_path / spk / "data" / f"{key}.mat", {key: arr})
+
+    palate = rng.standard_normal((60, 3))
+    scipy.io.savemat(tmp_path / spk / "data" / f"{spk}_palate.mat",
+                     {f"{spk}_palate": palate})
+
+    (tmp_path / spk / "TextGrids").mkdir()
+    from aptai_tpu.data.textgrid import Interval, write_textgrid
+
+    write_textgrid(
+        tmp_path / spk / "TextGrids" / f"{key}.TextGrid",
+        {"word": [Interval(0, 0.4, "Hello"), Interval(0.4, 0.5, "sp"),
+                  Interval(0.5, 1.0, "World")]},
+    )
+
+    out = extract_mat(tmp_path, tmp_path / "prep")
+    prep = tmp_path / "prep" / spk
+    assert (prep / "audio" / f"{key}.wav").exists()
+    with open(prep / "ema" / f"{key}.pkl", "rb") as f:
+        ema = pickle.load(f)
+    assert set(ema) >= {"TR", "TT", "LL", "JAW"}
+    assert len(ema["TT"]["x"]) == n
+    with open(prep / "ema" / f"{spk}_palate.pkl", "rb") as f:
+        pal = pickle.load(f)
+    assert len(pal["z"]) == 60
+    text = (prep / "text" / f"{key}.txt").read_text()
+    assert text == "hello world"  # 'sp' removed, lowercased
+
+
+def test_mspec_and_mfcc_prep(rng):
+    wav = (0.1 * rng.standard_normal(16000)).astype(np.float32)
+    mspec = compute_utterance_mspec(wav)
+    assert mspec.shape[1] == 80
+    zn = mspec_znorm(mspec)
+    np.testing.assert_allclose(zn.mean(axis=0), 0, atol=1e-4)  # float32
+    np.testing.assert_allclose(zn.std(axis=0), 1, atol=1e-3)
+    mf = compute_utterance_mfcc(wav)
+    assert mf.shape[0] == 13  # librosa orientation (n_mfcc, frames)
+
+
+def test_gaussian_smooth_tvs(rng):
+    tvs = {"JA": rng.standard_normal(100)}
+    sm = gaussian_smooth_tvs(tvs, sigma=2.0)
+    assert sm["JA"].std() < tvs["JA"].std()
