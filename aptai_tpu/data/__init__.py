@@ -20,6 +20,7 @@ from aptai_tpu.data.batching import (
     collate_ctc,
     collate_tv,
     BucketedLoader,
+    PrefetchLoader,
 )
 from aptai_tpu.data.synthetic import (
     make_synthetic_commonphone,
@@ -42,6 +43,7 @@ __all__ = [
     "collate_ctc",
     "collate_tv",
     "BucketedLoader",
+    "PrefetchLoader",
     "make_synthetic_commonphone",
     "make_synthetic_hprc",
 ]

@@ -148,3 +148,43 @@ class BucketedLoader:
         mask[:real] = True
         batch["batch_pad_mask"] = mask
         return batch
+
+
+class PrefetchLoader:
+    """Background-thread prefetch over any batch iterable.
+
+    The host-side analog of the reference's ``DataLoader(pin_memory=True)``
+    worker prefetch (reference train/train_phoneme_recognizer.py:247-269):
+    wav decode + collation for batch *i+1..i+depth* overlaps the device step
+    for batch *i*.
+    """
+
+    def __init__(self, loader, depth: int = 2):
+        self.loader = loader
+        self.depth = depth
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        sentinel = object()
+
+        def producer():
+            try:
+                for batch in self.loader:
+                    q.put(batch)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        t.join()

@@ -16,7 +16,8 @@ from pathlib import Path
 import jax
 import pandas as pd
 
-from aptai_tpu.data import BucketedLoader, HPRCDataset, collate_tv, load_vocab
+from aptai_tpu.data import (BucketedLoader, HPRCDataset, PrefetchLoader,
+                            collate_tv, load_vocab)
 from aptai_tpu.data.hprc import loso_split
 from aptai_tpu.data.vocab import build_vocab
 from aptai_tpu.train.builders import build_aptai_model
@@ -68,7 +69,8 @@ def run_speaker(cfg, hprc_df, vocab, test_spk, tiny_backbone=None):
     train_df, valid_df, test_n_df, test_f_df = loso_split(
         hprc_df, test_spk, cfg.train_val_rate, seed=cfg.seed
     )
-    train_dl = _loader(train_df, vocab, cfg.batch_size, True, cfg.seed)
+    train_dl = PrefetchLoader(
+        _loader(train_df, vocab, cfg.batch_size, True, cfg.seed))
     valid_dl = _loader(valid_df, vocab, 1, False)
     test_n_dl = _loader(test_n_df, vocab, 1, False)
     test_f_dl = _loader(test_f_df, vocab, 1, False)

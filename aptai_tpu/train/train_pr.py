@@ -21,6 +21,7 @@ import pandas as pd
 
 from aptai_tpu.data import (
     BucketedLoader,
+    PrefetchLoader,
     CommonPhoneDataset,
     HPRCDataset,
     build_vocab,
@@ -48,7 +49,7 @@ def make_loaders(cfg, df, vocab):
     test_ds = CommonPhoneDataset(test_df, vocab)
     mk = functools.partial(BucketedLoader, collate_fn=collate_ctc)
     return (
-        mk(train_ds, batch_size=cfg.batch_size, seed=cfg.seed),
+        PrefetchLoader(mk(train_ds, batch_size=cfg.batch_size, seed=cfg.seed)),
         mk(valid_ds, batch_size=1, shuffle=False),
         mk(test_ds, batch_size=1, shuffle=False),
         (train_df, valid_df, test_df),

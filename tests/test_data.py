@@ -218,3 +218,57 @@ def test_param_count_and_bytes():
     tree = {"a": np.zeros((2, 3), np.float32), "b": np.zeros(5, np.int32)}
     assert param_count(tree) == 11
     assert tree_bytes(tree) == 6 * 4 + 5 * 4
+
+
+def test_prefetch_loader_preserves_batches(tmp_path):
+    from aptai_tpu.data import PrefetchLoader
+
+    csv_path = make_synthetic_commonphone(tmp_path, 7, 1, 1)
+    df = pd.read_csv(csv_path)
+    vocab = build_vocab(df.phonemes)
+    ds = CommonPhoneDataset(df[df.split == "train"], vocab)
+    base = BucketedLoader(ds, batch_size=4, collate_fn=collate_ctc,
+                          shuffle=False)
+    direct = list(base)
+    prefetched = list(PrefetchLoader(
+        BucketedLoader(ds, batch_size=4, collate_fn=collate_ctc,
+                       shuffle=False)))
+    assert len(direct) == len(prefetched) == len(base)
+    for a, b in zip(direct, prefetched):
+        np.testing.assert_array_equal(a["audio"], b["audio"])
+        np.testing.assert_array_equal(a["phoneme_labels"], b["phoneme_labels"])
+
+
+def test_commonphone_csv_builder(tmp_path):
+    """C12 builder: corpus dir (per-lang train/dev/test csvs + wavs + MAUS
+    grids) -> commonphone.csv manifest."""
+    from aptai_tpu.data.audio_io import save_wav
+    from aptai_tpu.data.commonphone import commonphone_csv, remap_speakers
+    from aptai_tpu.data.textgrid import Interval, write_textgrid
+
+    cp = tmp_path / "CP"
+    (cp / "en" / "wav").mkdir(parents=True)
+    (cp / "en" / "grids").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    rows = {"train": [], "dev": [], "test": []}
+    for i, split in enumerate(["train", "train", "dev", "test"]):
+        name = f"utt_{i}"
+        save_wav(cp / "en" / "wav" / f"{name}.wav",
+                 (0.1 * rng.standard_normal(8000)).astype(np.float32), 16000)
+        write_textgrid(cp / "en" / "grids" / f"{name}.TextGrid", {
+            "MAU": [Interval(0.0, 0.2, "(...)"), Interval(0.2, 0.5, "a")],
+            "ORT-MAU": [Interval(0.0, 0.5, "word")],
+        })
+        rows[split if split != "train" or True else split]
+        rows[split].append({"audio file": f"{name}.mp3", "id": f"spk{i % 2}"})
+    for split, data in rows.items():
+        pd.DataFrame(data).to_csv(cp / "en" / f"{split}.csv", index=False)
+
+    out = commonphone_csv(str(cp), langs=["en"])
+    df = pd.read_csv(out)
+    assert list(df.split) == ["train", "train", "val", "test"]
+    assert df.phonemes.iloc[0] == "(...) a"
+    assert df.text.iloc[0] == "word"
+    remap_speakers(out)
+    df2 = pd.read_csv(out)
+    assert set(df2.speaker) <= {0, 1}
