@@ -59,8 +59,16 @@ def _decode_with_times(log_probs: np.ndarray):
 
 
 class APTAIPredictor:
-    def __init__(self, model, params):
+    def __init__(self, model, params, mesh=None):
+        """``mesh``: optional ``jax.sharding.Mesh`` — batches shard over the
+        data axis and tensor-parallel parameters over the model axis
+        (multi-chip serving; single-chip when None)."""
         self.model = model
+        self.mesh = mesh
+        if mesh is not None:
+            from aptai_tpu.parallel import shard_tree
+
+            params = shard_tree(mesh, params)
         self.params = params
         self._fwd = jax.jit(
             lambda p, a, l: model.apply({"params": p}, a, l, method="predict")
@@ -68,6 +76,12 @@ class APTAIPredictor:
 
     def predict_batch(self, wavs: Sequence[np.ndarray]) -> Dict:
         audio, lengths = _prepare(wavs)
+        if self.mesh is not None:
+            from aptai_tpu.parallel import shard_batch
+
+            audio, lengths = shard_batch(self.mesh, (audio, lengths))
+            with self.mesh:
+                return self._fwd(self.params, audio, lengths)
         return self._fwd(self.params, audio, lengths)
 
     def get_aptai_output(self, wav) -> Dict:

@@ -38,6 +38,7 @@ class TrainConfig:
     target_metric_bigger_better: bool = False
     seed: int = 0
     detect_anomaly: bool = False  # per-step NaN/Inf guard (forces a sync)
+    debug_nans: bool = False      # jax_debug_nans: NaN origin tracing
 
     # model
     num_hidden_layers: int = 24
@@ -66,6 +67,13 @@ class TrainConfig:
             import jax
 
             jax.config.update("jax_platforms", self.platform)
+        if self.debug_nans:
+            # the deeper analog of the reference's always-on
+            # torch.autograd.set_detect_anomaly (train_aptai.py:405):
+            # XLA re-runs the offending op un-jitted and points at it
+            import jax
+
+            jax.config.update("jax_debug_nans", True)
         self.date_time = datetime.now().strftime("%Y-%m-%d_%H:%M:%S")
         if self.laptop:  # debug mode truncation (reference :186-189)
             self.num_epochs = 1

@@ -175,3 +175,21 @@ def test_micro_batcher(models):
     mb.stop()
     np.testing.assert_allclose(outs[0]["tvs_pred"], results[0]["tvs_pred"],
                                rtol=1e-4, atol=1e-5)
+
+
+def test_aptai_predictor_on_mesh(models):
+    """Data-parallel batched inference over the 8-device CPU mesh."""
+    from aptai_tpu.parallel import make_mesh
+
+    (aptai, ap), _, _ = models
+    mesh = make_mesh(data=8, model=1)
+    pred_mesh = APTAIPredictor(aptai, ap, mesh=mesh)
+    pred_single = APTAIPredictor(aptai, ap)
+    rng = np.random.default_rng(4)
+    wavs = [rng.standard_normal(4000).astype(np.float32) for _ in range(8)]
+    out_m = pred_mesh.predict_batch(wavs)
+    out_s = pred_single.predict_batch(wavs)
+    np.testing.assert_allclose(
+        np.asarray(out_m["tvs_pred"]), np.asarray(out_s["tvs_pred"]),
+        rtol=1e-4, atol=1e-5,
+    )
