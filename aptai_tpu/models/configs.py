@@ -65,6 +65,8 @@ class Wav2Vec2Config:
     # numerics
     layer_norm_eps: float = 1e-5
     dtype: str = "float32"  # compute dtype: "float32" | "bfloat16"
+    fused_qkv: bool = False  # single QKV GEMM (param tree changes; see
+    #                          hf_convert.convert_wav2vec2_encoder(fused_qkv=))
 
     def with_ten_ms(self) -> "Wav2Vec2Config":
         """10 ms frame-rate variant: final conv stride 2 → 1

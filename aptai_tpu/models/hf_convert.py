@@ -46,6 +46,7 @@ def convert_wav2vec2_encoder(
     state_dict: Mapping[str, "np.ndarray"],
     num_hidden_layers: int,
     prefix: str = "",
+    fused_qkv: bool = False,
 ) -> Dict:
     """Convert an HF ``Wav2Vec2Model`` state_dict to the encoder param tree.
 
@@ -109,16 +110,33 @@ def convert_wav2vec2_encoder(
     # --- transformer layers
     for i in range(num_hidden_layers):
         p = f"encoder.layers.{i}"
-        params[f"layers_{i}"] = {
-            "layer_norm": _ln(sd, f"{p}.layer_norm"),
-            "final_layer_norm": _ln(sd, f"{p}.final_layer_norm"),
-            "attention": {
+        if fused_qkv:
+            attention = {
+                "qkv_proj": {
+                    "kernel": np.concatenate(
+                        [_linear(sd[f"{p}.attention.{n}.weight"])
+                         for n in ("q_proj", "k_proj", "v_proj")], axis=1),
+                    "bias": np.concatenate(
+                        [_np(sd[f"{p}.attention.{n}.bias"])
+                         for n in ("q_proj", "k_proj", "v_proj")]),
+                },
+                "out_proj": {
+                    "kernel": _linear(sd[f"{p}.attention.out_proj.weight"]),
+                    "bias": _np(sd[f"{p}.attention.out_proj.bias"]),
+                },
+            }
+        else:
+            attention = {
                 name: {
                     "kernel": _linear(sd[f"{p}.attention.{name}.weight"]),
                     "bias": _np(sd[f"{p}.attention.{name}.bias"]),
                 }
                 for name in ("q_proj", "k_proj", "v_proj", "out_proj")
-            },
+            }
+        params[f"layers_{i}"] = {
+            "layer_norm": _ln(sd, f"{p}.layer_norm"),
+            "final_layer_norm": _ln(sd, f"{p}.final_layer_norm"),
+            "attention": attention,
             "feed_forward": {
                 "intermediate_dense": {
                     "kernel": _linear(sd[f"{p}.feed_forward.intermediate_dense.weight"]),

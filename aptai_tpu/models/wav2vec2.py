@@ -220,12 +220,20 @@ class SelfAttention(nn.Module):
         h_heads, d = cfg.num_attention_heads, cfg.head_dim
         b, t, _ = x.shape
 
-        def proj(name):
-            return nn.Dense(cfg.hidden_size, dtype=dtype, name=name)
+        if cfg.fused_qkv:
+            qkv = nn.Dense(3 * cfg.hidden_size, dtype=dtype,
+                           name="qkv_proj")(x)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q = q.reshape(b, t, h_heads, d)
+            k = k.reshape(b, t, h_heads, d)
+            v = v.reshape(b, t, h_heads, d)
+        else:
+            def proj(name):
+                return nn.Dense(cfg.hidden_size, dtype=dtype, name=name)
 
-        q = proj("q_proj")(x).reshape(b, t, h_heads, d)
-        k = proj("k_proj")(x).reshape(b, t, h_heads, d)
-        v = proj("v_proj")(x).reshape(b, t, h_heads, d)
+            q = proj("q_proj")(x).reshape(b, t, h_heads, d)
+            k = proj("k_proj")(x).reshape(b, t, h_heads, d)
+            v = proj("v_proj")(x).reshape(b, t, h_heads, d)
 
         ctx = multi_head_attention(q, k, v, lengths)
         ctx = ctx.reshape(b, t, cfg.hidden_size)

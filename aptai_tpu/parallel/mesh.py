@@ -53,6 +53,9 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 
 # (regex over 'a/b/c' param path) -> PartitionSpec.  First match wins.
+# NOTE: the fused_qkv layout keeps qkv_proj replicated (a naive output-dim
+# split would cut across the q/k/v boundary); use unfused QKV with tensor
+# parallelism.
 _PARAM_RULES = (
     # attention: column-parallel QKV, row-parallel output projection
     (r".*attention/(q_proj|k_proj|v_proj)/kernel$", P(None, MODEL_AXIS)),

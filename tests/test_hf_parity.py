@@ -123,3 +123,22 @@ def test_extract_features_match(models, rng):
         want = tm.feature_extractor(torch.tensor(x)).transpose(1, 2).numpy()
     _, _, got = enc.apply(variables, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-4)
+
+
+def test_fused_qkv_matches_unfused(models, rng):
+    """fused_qkv=True + fused conversion == the unfused model."""
+    import dataclasses
+
+    tm, cfg, enc, variables = models
+    from aptai_tpu.models.wav2vec2 import Wav2Vec2Encoder
+
+    cfg_f = dataclasses.replace(cfg, fused_qkv=True)
+    enc_f = Wav2Vec2Encoder(cfg_f)
+    params_f = convert_wav2vec2_encoder(
+        tm.state_dict(), cfg.num_hidden_layers, fused_qkv=True
+    )
+    x = rng.standard_normal((1, 3200)).astype(np.float32)
+    want, _, _ = enc.apply(variables, jnp.asarray(x))
+    got, _, _ = enc_f.apply({"params": params_f}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
