@@ -67,6 +67,9 @@ class Wav2Vec2Config:
     dtype: str = "float32"  # compute dtype: "float32" | "bfloat16"
     fused_qkv: bool = False  # single QKV GEMM (param tree changes; see
     #                          hf_convert.convert_wav2vec2_encoder(fused_qkv=))
+    fused_feature_extractor: bool = False  # Pallas conv+LN+GELU kernel
+    #   (ops/fused_conv.py): correct on TPU but currently ~7% slower than
+    #   XLA's conv lowering — its per-tile DMA is not yet double-buffered.
 
     def with_ten_ms(self) -> "Wav2Vec2Config":
         """10 ms frame-rate variant: final conv stride 2 → 1

@@ -95,8 +95,60 @@ class Conv1dGEMM(nn.Module):
         return out
 
 
+class _ConvParams(nn.Module):
+    """Parameter holder with nn.Conv's tree layout (kernel (k, Cin, Cout))."""
+
+    features: int
+    kernel: int
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self, c_in: int):
+        kern = self.param("kernel", nn.initializers.lecun_normal(),
+                          (self.kernel, c_in, self.features), jnp.float32)
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,),
+                           jnp.float32) if self.use_bias else None)
+        return kern, bias
+
+
+class _LNParams(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        return scale, bias
+
+
+def _fused_fe_applicable(cfg: Wav2Vec2Config, kernel: int, stride: int,
+                         c_in: int) -> bool:
+    """The fused Pallas conv+LN+GELU covers the homogeneous mid-stack
+    layers on TPU (wide channels, small kernel, stride 2)."""
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        on_tpu = False
+    return (
+        on_tpu
+        and cfg.fused_feature_extractor
+        and cfg.feat_extract_norm == "layer"
+        and kernel in (2, 3)
+        and stride == 2
+        and c_in % 128 == 0
+    )
+
+
 class ConvLayerBlock(nn.Module):
-    """One feature-extractor conv: Conv1d → (channel) LayerNorm → GELU."""
+    """One feature-extractor conv: Conv1d → (channel) LayerNorm → GELU.
+
+    On TPU the homogeneous mid-stack layers run as one fused Pallas kernel
+    (ops/fused_conv.py); elsewhere, and for the first (k=10, s=5, C_in=1)
+    layer, the XLA conv + LayerNorm + GELU path is used — identical
+    parameters either way.
+    """
 
     cfg: Wav2Vec2Config
     features: int
@@ -108,6 +160,19 @@ class ConvLayerBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         dtype = _compute_dtype(self.cfg)
+        if _fused_fe_applicable(self.cfg, self.kernel, self.stride,
+                                x.shape[-1]):
+            from aptai_tpu.ops.fused_conv import fused_conv_ln_gelu
+
+            kern, bias = _ConvParams(
+                self.features, self.kernel, self.cfg.conv_bias, name="conv"
+            )(x.shape[-1])
+            ls, lb = _LNParams(self.features, name="layer_norm")()
+            return fused_conv_ln_gelu(
+                x.astype(dtype), kern.astype(dtype),
+                None if bias is None else bias.astype(dtype),
+                ls, lb, self.stride, eps=self.cfg.layer_norm_eps,
+            )
         if self.use_patches_gemm:
             conv = Conv1dGEMM(
                 features=self.features,
