@@ -27,11 +27,23 @@ from aptai_tpu import FRAME_RATE_HZ, SAMPLE_RATE, TV_ORDER
 
 class StreamingAPTAI:
     def __init__(self, model, params, chunk_seconds: float = 20.0,
-                 overlap_seconds: float = 2.0):
+                 overlap_seconds: float = 2.0, mesh=None,
+                 chunk_batch: int = 1):
+        """``mesh`` + ``chunk_batch`` > 1 enable *sequence parallelism for a
+        single long recording*: consecutive chunks are batched and the batch
+        axis shards over the mesh's data axis, so one hour-long file spreads
+        across chips (the chunks are independent given the overlap context,
+        so no cross-chip attention is needed)."""
         if overlap_seconds >= chunk_seconds:
             raise ValueError("overlap must be smaller than the chunk")
         self.model = model
+        self.mesh = mesh
+        if mesh is not None:
+            from aptai_tpu.parallel import shard_tree
+
+            params = shard_tree(mesh, params)
         self.params = params
+        self.chunk_batch = max(int(chunk_batch), 1)
         self.chunk = int(chunk_seconds * SAMPLE_RATE)
         self.overlap = int(overlap_seconds * SAMPLE_RATE)
         frame_hop = 1
@@ -42,6 +54,16 @@ class StreamingAPTAI:
         self._fwd = jax.jit(
             lambda p, a, l: model.apply({"params": p}, a, l, method="predict")
         )
+
+    def _run_chunks(self, padded: np.ndarray, lens: np.ndarray):
+        """Forward a (N, chunk) stack, data-sharded when a mesh is set."""
+        if self.mesh is not None:
+            from aptai_tpu.parallel import shard_batch
+
+            padded, lens = shard_batch(self.mesh, (padded, lens))
+            with self.mesh:
+                return self._fwd(self.params, padded, lens)
+        return self._fwd(self.params, padded, lens)
 
     def _frames_for(self, n_samples: int) -> int:
         return int(self.model.cfg.feat_extract_output_lengths(
@@ -71,22 +93,37 @@ class StreamingAPTAI:
         half_ov_frames = self._frames_for(self.overlap) // 2
         prev_end_abs = 0
 
-        for i, (s, chunk) in enumerate(zip(starts, chunks)):
-            n = len(chunk)
-            padded = np.zeros(self.chunk, np.float32)
-            padded[:n] = chunk
-            out = self._fwd(
-                self.params, padded[None],
-                np.asarray([n], np.int32),
-            )
-            t = self._frames_for(n)
-            tvs = np.asarray(out["tvs_pred"])[0, :t]
-            phn = np.asarray(out["phn_fc_pred"])[0, :t]
-            probs = np.asarray(out["phn_fc_probs"])[0, :t]
+        # stack chunks and forward them chunk_batch at a time (the batch axis
+        # is the sequence-parallel axis when a mesh is configured)
+        n_chunks = len(chunks)
+        padded = np.zeros((n_chunks, self.chunk), np.float32)
+        lens = np.zeros((n_chunks,), np.int32)
+        for i, chunk in enumerate(chunks):
+            padded[i, : len(chunk)] = chunk
+            lens[i] = len(chunk)
+
+        outs = []
+        g = self.chunk_batch
+        for i0 in range(0, n_chunks, g):
+            grp = slice(i0, min(i0 + g, n_chunks))
+            p, l = padded[grp], lens[grp]
+            if len(l) < g and g > 1:  # keep the compiled shape static
+                reps = g - len(l)
+                p = np.concatenate([p, np.repeat(p[-1:], reps, axis=0)])
+                l = np.concatenate([l, np.repeat(l[-1:], reps)])
+            out = self._run_chunks(p, l)
+            for j in range(grp.stop - grp.start):
+                outs.append(jax.tree.map(lambda a: np.asarray(a)[j], out))
+
+        for i, (s, out) in enumerate(zip(starts, outs)):
+            t = self._frames_for(int(lens[i]))
+            tvs = out["tvs_pred"][:t]
+            phn = out["phn_fc_pred"][:t]
+            probs = out["phn_fc_probs"][:t]
 
             offset = s // frame_hop
             lo = max(prev_end_abs - offset, 0)
-            hi = t if i == len(chunks) - 1 else t - half_ov_frames
+            hi = t if i == n_chunks - 1 else t - half_ov_frames
             prev_end_abs = offset + hi
             tvs_parts.append(tvs[lo:hi])
             phn_parts.append(phn[lo:hi])

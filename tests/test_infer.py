@@ -193,3 +193,26 @@ def test_aptai_predictor_on_mesh(models):
         np.asarray(out_m["tvs_pred"]), np.asarray(out_s["tvs_pred"]),
         rtol=1e-4, atol=1e-5,
     )
+
+
+def test_streaming_chunk_parallel_on_mesh(models):
+    """Sequence parallelism for one long file: chunk-batched streaming over
+    the mesh matches sequential streaming exactly."""
+    from aptai_tpu.parallel import make_mesh
+
+    (aptai, ap), _, _ = models
+    rng = np.random.default_rng(5)
+    wav = rng.standard_normal(16000 * 9).astype(np.float32) * 0.1
+
+    seq = StreamingAPTAI(aptai, ap, chunk_seconds=2.0, overlap_seconds=0.5)
+    mesh = make_mesh(data=4, model=1)
+    par = StreamingAPTAI(aptai, ap, chunk_seconds=2.0, overlap_seconds=0.5,
+                         mesh=mesh, chunk_batch=4)
+    out_s = seq.predict(wav)
+    out_p = par.predict(wav)
+    assert len(out_s["phn_fc_pred"]) == len(out_p["phn_fc_pred"])
+    np.testing.assert_allclose(
+        np.asarray(out_s["tvs_pred"]["LA"]),
+        np.asarray(out_p["tvs_pred"]["LA"]), rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_array_equal(out_s["phn_fc_pred"], out_p["phn_fc_pred"])
