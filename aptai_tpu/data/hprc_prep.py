@@ -27,7 +27,6 @@ in the data pipeline.
 from __future__ import annotations
 
 import csv
-import math
 import os
 import pickle
 from pathlib import Path

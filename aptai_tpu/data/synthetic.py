@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import pickle
 from pathlib import Path
-from typing import Dict, List
+
 
 import numpy as np
 import pandas as pd

@@ -15,7 +15,6 @@ of the reference (SURVEY.md §3.4) while ``*_batch`` variants deliver the
 
 from __future__ import annotations
 
-import functools
 import math
 from typing import Dict, List, Optional, Sequence
 

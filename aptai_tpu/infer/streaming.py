@@ -17,7 +17,7 @@ long-context path at all — SURVEY.md §5.7).  Strategy:
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, List
 
 import jax
 import numpy as np
