@@ -167,6 +167,12 @@ def _round_up(x: int, m: int) -> int:
 
 def _on_tpu() -> bool:
     try:
+        # a jax.default_device(cpu) context (e.g. host-side param init of a
+        # TPU model) must route to the XLA path — the Pallas kernel cannot
+        # lower for CPU
+        dd = jax.config.jax_default_device
+        if dd is not None:
+            return getattr(dd, "platform", None) == "tpu"
         return jax.default_backend() == "tpu"
     except Exception:  # pragma: no cover
         return False
