@@ -4,6 +4,7 @@ pretrained-weight conversion, and PR-checkpoint embedding for FORCE-APTAI."""
 from __future__ import annotations
 
 import dataclasses
+import functools
 from pathlib import Path
 from typing import Dict, Optional, Tuple
 
@@ -36,22 +37,30 @@ def make_backbone_config(cfg_train, vocab_size: int) -> Wav2Vec2Config:
     return cfg
 
 
+@functools.lru_cache(maxsize=2)
+def _converted_encoder(checkpoint: str, num_layers: int) -> Dict:
+    """Convert (and cache) an HF torch checkpoint — LOSO folds re-splice the
+    same pretrained tree instead of re-reading the .bin per speaker."""
+    from aptai_tpu.models.hf_convert import load_torch_state_dict
+
+    sd = load_torch_state_dict(checkpoint)
+    return convert_wav2vec2_encoder(sd, num_layers)
+
+
 def _maybe_load_pretrained(params: Dict, checkpoint: Optional[str],
                            num_layers: int, scope: str) -> Dict:
     """Splice converted HF torch weights into a freshly initialized tree."""
     if not checkpoint:
         return params
-    from aptai_tpu.models.hf_convert import load_torch_state_dict
-
-    sd = load_torch_state_dict(checkpoint)
-    converted = convert_wav2vec2_encoder(sd, num_layers)
     params = dict(params)
-    params[scope] = converted
+    params[scope] = jax.tree.map(
+        np.copy, _converted_encoder(checkpoint, num_layers)
+    )
     return params
 
 
 def build_pr_model(cfg_train, vocab: Dict[str, int], example_audio_len=3200,
-                   tiny=None) -> Tuple[W2V2PR, Dict, Dict]:
+                   tiny=None, seed=None) -> Tuple[W2V2PR, Dict, Dict]:
     backbone = tiny if tiny is not None else make_backbone_config(
         cfg_train, len(vocab))
     if tiny is not None:
@@ -61,7 +70,7 @@ def build_pr_model(cfg_train, vocab: Dict[str, int], example_audio_len=3200,
     audio = jnp.zeros((1, example_audio_len), jnp.float32)
     lengths = jnp.full((1,), example_audio_len, jnp.int32)
     labels = jnp.full((1, 4), -100, jnp.int32)
-    variables = model.init(jax.random.PRNGKey(cfg_train.seed), audio,
+    variables = model.init(jax.random.PRNGKey(cfg_train.seed if seed is None else seed), audio,
                            lengths, labels)
     params = _maybe_load_pretrained(
         dict(variables["params"]), cfg_train.pretrained_checkpoint,
@@ -73,7 +82,7 @@ def build_pr_model(cfg_train, vocab: Dict[str, int], example_audio_len=3200,
 
 
 def build_aptai_model(cfg_train, vocab: Dict[str, int], example_audio_len=3200,
-                      tiny=None) -> Tuple[APTAI, Dict, Dict]:
+                      tiny=None, seed=None) -> Tuple[APTAI, Dict, Dict]:
     backbone = tiny if tiny is not None else make_backbone_config(
         cfg_train, len(vocab))
     model = APTAI(
@@ -86,7 +95,7 @@ def build_aptai_model(cfg_train, vocab: Dict[str, int], example_audio_len=3200,
     lengths = jnp.full((1,), example_audio_len, jnp.int32)
     t = int(backbone.feat_extract_output_lengths(np.asarray(example_audio_len)))
     variables = model.init(
-        jax.random.PRNGKey(cfg_train.seed), audio, lengths,
+        jax.random.PRNGKey(cfg_train.seed if seed is None else seed), audio, lengths,
         jnp.zeros((1, t), jnp.int32), jnp.zeros((1, t, 9)),
     )
     params = _maybe_load_pretrained(
@@ -101,7 +110,7 @@ def build_aptai_model(cfg_train, vocab: Dict[str, int], example_audio_len=3200,
 def build_force_model(cfg_train, vocab: Dict[str, int],
                       pr_model_path: Optional[str],
                       example_audio_len=3200,
-                      tiny=None) -> Tuple[ForceAPTAI, Dict, Dict]:
+                      tiny=None, seed=None) -> Tuple[ForceAPTAI, Dict, Dict]:
     """FORCE-APTAI over a frozen PR checkpoint
     (reference models/force_aptai.py:60-78): the PR weights are loaded from
     ``<pr_model_path>/best-model-ckpt`` and spliced under ``w2v2_pr``."""
@@ -114,11 +123,14 @@ def build_force_model(cfg_train, vocab: Dict[str, int],
             k: tuple(v) if isinstance(v, list) else v
             for k, v in pr_cfg["backbone"].items()
         })
-    model = ForceAPTAI(backbone, vocab_size=len(vocab))
+    model = ForceAPTAI(
+        backbone, vocab_size=len(vocab),
+        decode_method=getattr(cfg_train, "decode_method", "greedy"),
+    )
     audio = jnp.zeros((1, example_audio_len), jnp.float32)
     lengths = jnp.full((1,), example_audio_len, jnp.int32)
     variables = model.init(
-        jax.random.PRNGKey(cfg_train.seed), audio, lengths,
+        jax.random.PRNGKey(cfg_train.seed if seed is None else seed), audio, lengths,
         jnp.zeros((1, 200, 9)),
     )
     params = dict(variables["params"])

@@ -27,6 +27,10 @@ class TrainConfig:
     num_warmup_epochs: int = 0
     num_static_epochs: int = 0
     batch_size: int = 4
+    # 0 → evaluate at the training batch size through the bucketed loader
+    # (the reference evaluates at batch 1 — train_aptai.py:74-76 — which is
+    # the worst case on TPU; batch_pad_mask keeps the metrics identical)
+    eval_batch_size: int = 0
     learning_rate: float = 5e-4
     lr_decay: float = 0.96
     adam_beta1: float = 0.9
@@ -98,6 +102,11 @@ class PRConfig(TrainConfig):
     hprc_csv_path: str = "data/HPRC_prep/hprc.csv"
     cropping: bool = False
     samples_per_epoch: int = 2000
+    # per-epoch validation decode: "greedy" keeps the epoch loop free of the
+    # serial host beam search (final test always beam-decodes, preserving
+    # the reference's reported-PER protocol); "beam" restores the
+    # reference's in-loop behavior (train_phoneme_recognizer.py:520-542)
+    val_decode: str = "greedy"
 
 
 @dataclasses.dataclass
@@ -127,6 +136,10 @@ class ForceAPTAIConfig(TrainConfig):
     num_epochs: int = 60
     learning_rate: float = 1e-5
     batch_size: int = 5
+    # in-step CTC decode: "greedy" (on-device, the TPU default) or
+    # "beam_host" (the reference's host beam round-trip per step,
+    # models/force_aptai.py:97 — kept for quality comparison)
+    decode_method: str = "greedy"
 
 
 def _add_dataclass_args(parser: argparse.ArgumentParser, cls) -> None:

@@ -42,12 +42,24 @@ def decode_best(log_probs: np.ndarray, blank: int = 0, beam_size: int = 10):
     return list(beam_search(log_probs, blank=blank, beam_size=beam_size)[0].tokens)
 
 
+def decode_greedy(log_probs: np.ndarray, blank: int = 0):
+    """Host-side greedy collapse (argmax → dedupe → de-blank) — the cheap
+    per-epoch validation decode (beam search stays the final-test decode,
+    preserving the reference's reported-PER protocol)."""
+    ids = np.argmax(log_probs, axis=-1)
+    keep = np.ones(len(ids), bool)
+    keep[1:] = ids[1:] != ids[:-1]
+    collapsed = ids[keep]
+    return collapsed[collapsed != blank].tolist()
+
+
 def validate_pr(
     forward_fn: Callable,
     batches: Iterable[Dict[str, np.ndarray]],
     max_batches: int | None = None,
+    decode: str = "beam",
 ) -> Dict[str, float]:
-    """PR validation: mean CTC loss + corpus PER via beam decode.
+    """PR validation: mean CTC loss + corpus PER via beam (or greedy) decode.
 
     ``forward_fn(batch) -> {loss, log_probs, frame_lengths}`` (jitted apply).
     """
@@ -67,7 +79,9 @@ def validate_pr(
                 continue
             labels = batch["phoneme_labels"][b]
             gt = labels[labels >= 0].tolist()
-            pred = decode_best(log_probs[b, : frame_lengths[b]])
+            lp = log_probs[b, : frame_lengths[b]]
+            pred = (decode_greedy(lp) if decode == "greedy"
+                    else decode_best(lp))
             per.update(gt, pred)
     return {
         "mean_val_per": per.per,

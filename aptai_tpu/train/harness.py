@@ -18,7 +18,8 @@ the engine provides:
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -35,19 +36,43 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
 
 
+def trainable_mask(params, frozen_prefixes: Sequence[str]):
+    """Bool pytree: True = trainable, False = frozen (no Adam moments, no
+    weight decay — the analog of the reference's ``requires_grad=False``
+    freeze of the PR tower, reference models/force_aptai.py:76-78)."""
+
+    def mark(kp, _):
+        top = str(getattr(kp[0], "key", getattr(kp[0], "idx", kp[0])))
+        return top not in frozen_prefixes
+
+    return jax.tree_util.tree_map_with_path(mark, params)
+
+
 def torch_adam(
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-8,
     weight_decay: float = 0.0,
+    frozen_prefixes: Sequence[str] = (),
 ) -> optax.GradientTransformation:
     """``torch.optim.Adam`` semantics: L2 weight decay added to the gradient
-    *before* the moment updates (not AdamW), LR applied externally."""
+    *before* the moment updates (not AdamW), LR applied externally.
+
+    ``frozen_prefixes`` names top-level parameter subtrees excluded from the
+    optimizer entirely (``optax.masked``): they carry no first/second-moment
+    state on HBM and can never be weight-decayed.  Their gradients are zero
+    by construction (``stop_gradient`` in the model) so the pass-through
+    update leaves them bit-identical."""
     txs = []
     if weight_decay:
         txs.append(optax.add_decayed_weights(weight_decay))
     txs.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
-    return optax.chain(*txs)
+    tx = optax.chain(*txs)
+    if frozen_prefixes:
+        tx = optax.masked(
+            tx, lambda params: trainable_mask(params, frozen_prefixes)
+        )
+    return tx
 
 
 def create_train_state(params, optimizer: optax.GradientTransformation):
@@ -106,3 +131,35 @@ def make_train_step(
     # (leading dim over the data axis); XLA then derives every collective
     # (psum for DP gradients, all-gather/reduce-scatter for TP matmuls).
     return jax.jit(step_fn, donate_argnums=(0,))
+
+
+@dataclasses.dataclass
+class Engine:
+    """One compiled training engine, reusable across LOSO folds.
+
+    The reference rebuilds model + optimizer per held-out speaker
+    (train/train_aptai.py:872-996); on TPU a full-size compile costs
+    minutes, so the jitted step/eval closures are built once and every
+    fold reuses them (fresh params, same compiled program)."""
+
+    optimizer: optax.GradientTransformation
+    step_fn: Callable
+    mesh: Optional[Mesh]
+
+
+def make_engine(
+    cfg,
+    loss_fn: LossFn,
+    mesh: Optional[Mesh] = None,
+    frozen_prefixes: Sequence[str] = (),
+) -> Engine:
+    """Build optimizer + jitted train step once for a whole run."""
+    if mesh is None:
+        from aptai_tpu.parallel import make_mesh
+
+        mesh = make_mesh(data=cfg.mesh_data, model=cfg.mesh_model)
+    optimizer = torch_adam(
+        b1=cfg.adam_beta1, b2=cfg.adam_beta2, eps=cfg.adam_epsilon,
+        weight_decay=cfg.adam_weight_decay, frozen_prefixes=frozen_prefixes,
+    )
+    return Engine(optimizer, make_train_step(loss_fn, optimizer, mesh), mesh)

@@ -1,6 +1,21 @@
 """The shared fit() engine — one epoch/validate/checkpoint loop for all
 three workloads (replaces ~2,800 duplicated lines across the reference's
-train scripts; SURVEY.md §7.1 step 4)."""
+train scripts; SURVEY.md §7.1 step 4).
+
+TPU performance discipline (the axon tunnel executes lazily and every host
+fetch costs ~30 ms RTT):
+
+  * the step loop never fetches — per-step losses stay on device as scalars
+    and are pulled in ONE fetch at the end of the epoch, which is also what
+    triggers the chained execution of every step (same methodology as
+    ``bench.py``);
+  * the persistent compilation cache is enabled before the first jit;
+  * validation runs on the *device* params (no host round-trip of ~1.2 GB
+    of weights per epoch); the host copy is made once for checkpointing;
+  * ``detect_anomaly`` opts back into the per-step sync — that's its
+    documented cost (the analog of the reference's always-on
+    torch.autograd.set_detect_anomaly, train_aptai.py:405).
+"""
 
 from __future__ import annotations
 
@@ -11,14 +26,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from aptai_tpu.parallel import make_mesh, shard_batch, shard_tree
+from aptai_tpu.parallel import shard_batch, shard_tree
 from aptai_tpu.train.checkpoints import CheckpointManager
-from aptai_tpu.train.harness import (
-    create_train_state,
-    make_train_step,
-    torch_adam,
-)
+from aptai_tpu.train.harness import Engine, create_train_state, make_engine
 from aptai_tpu.train.schedule import epoch_learning_rate
+from aptai_tpu.utils.jax_setup import enable_compilation_cache
 
 
 def fit(
@@ -32,6 +44,7 @@ def fit(
     samples_per_epoch: Optional[int] = None,
     log_fn: Callable[[str], None] = print,
     logger=None,
+    engine: Optional[Engine] = None,
 ):
     """Run the full training loop; returns (final_params, history).
 
@@ -42,14 +55,15 @@ def fit(
       (reference train_phoneme_recognizer.py:402-414);
     * validation + best/last checkpointing each epoch;
     * laptop mode truncates to 1 train batch / few val files
-      (reference train_aptai.py:418-420).
+      (reference train_aptai.py:418-420);
+    * ``engine``: a prebuilt :class:`~aptai_tpu.train.harness.Engine` so
+      LOSO folds share one compiled step (built fresh when omitted).
     """
-    mesh = make_mesh(data=cfg.mesh_data, model=cfg.mesh_model)
-    optimizer = torch_adam(
-        b1=cfg.adam_beta1, b2=cfg.adam_beta2, eps=cfg.adam_epsilon,
-        weight_decay=cfg.adam_weight_decay,
-    )
-    state = create_train_state(params, optimizer)
+    enable_compilation_cache()
+    if engine is None:
+        engine = make_engine(cfg, loss_fn)
+    mesh, step_fn = engine.mesh, engine.step_fn
+    state = create_train_state(params, engine.optimizer)
     start_epoch = 0
     if getattr(cfg, "train_from_ckpt", False) and (
         ckpt.last_dir / "params.msgpack"
@@ -71,7 +85,6 @@ def fit(
 
     with mesh:
         state = shard_tree(mesh, state)
-        step_fn = make_train_step(loss_fn, optimizer, mesh)
 
         for epoch in range(start_epoch, cfg.num_epochs):
             lr = epoch_learning_rate(
@@ -90,31 +103,40 @@ def fit(
                 chosen = None
 
             t0 = time.perf_counter()
-            losses = []
+            step_losses = []  # device scalars — no per-step host sync
             for batch_idx, batch in enumerate(train_loader):
                 if chosen is not None and batch_idx not in chosen:
                     continue
-                if cfg.laptop and len(losses) >= 1:
+                if cfg.laptop and len(step_losses) >= 1:
                     break
                 batch.pop("batch_pad_mask", None)
                 sbatch = shard_batch(mesh, batch)
                 state, metrics = step_fn(state, sbatch, rng, jnp.float32(lr))
-                loss_val = float(metrics["loss"])
-                if getattr(cfg, "detect_anomaly", False) and not np.isfinite(
-                    loss_val
-                ):
-                    # failure-detection analog of the reference's always-on
-                    # torch.autograd.set_detect_anomaly (train_aptai.py:405)
-                    raise FloatingPointError(
-                        f"non-finite loss {loss_val} at epoch {epoch} "
-                        f"batch {batch_idx}: "
-                        + str({k: float(v) for k, v in metrics.items()})
-                    )
-                losses.append(loss_val)
+                if getattr(cfg, "detect_anomaly", False):
+                    # opt-in per-step sync (forces execution + fetch)
+                    loss_val = float(metrics["loss"])
+                    if not np.isfinite(loss_val):
+                        raise FloatingPointError(
+                            f"non-finite loss {loss_val} at epoch {epoch} "
+                            f"batch {batch_idx}: "
+                            + str({k: float(v) for k, v in metrics.items()})
+                        )
+                step_losses.append(metrics["loss"])
+            # ONE fetch: triggers the chained execution of the whole epoch
+            losses = (np.asarray(jnp.stack(step_losses))
+                      if step_losses else np.zeros((0,), np.float32))
             train_time = time.perf_counter() - t0
+            if losses.size and not np.all(np.isfinite(losses)):
+                bad = int(np.flatnonzero(~np.isfinite(losses))[0])
+                raise FloatingPointError(
+                    f"non-finite loss at epoch {epoch}, step {bad} of "
+                    f"{losses.size} (re-run with --detect_anomaly to sync "
+                    "per step, --debug_nans to trace the origin)"
+                )
 
+            # validate on the device-resident params (no host round-trip)
+            val_logs = validate_fn(state.params, epoch)
             params_host = jax.tree.map(np.asarray, state.params)
-            val_logs = validate_fn(params_host, epoch)
             improved = ckpt.update(
                 epoch, val_logs, params_host,
                 opt_state=jax.tree.map(np.asarray, state.opt_state),
@@ -123,8 +145,10 @@ def fit(
             entry = {
                 "epoch": epoch,
                 "lr": lr,
-                "mean_train_loss": float(np.mean(losses)) if losses else None,
+                "mean_train_loss": float(np.mean(losses)) if losses.size
+                else None,
                 "train_seconds": train_time,
+                "train_steps": int(losses.size),
                 "improved": improved,
                 **val_logs,
             }

@@ -6,6 +6,14 @@ train/val split over the remaining speakers, rate filtering, train with the
 shared engine, 10-metric validation per epoch, best checkpoint by
 ``val_mean_rmse``, then N- and F-rate test metric dicts → per-speaker CSVs
 and a LOSO mean±std aggregate (reference :998-1033).
+
+TPU deviations from the reference harness (deliberate):
+  * model + jitted step/eval closures are built ONCE and shared by all 8
+    folds (full-size compiles cost minutes through the tunnel; the
+    reference rebuilds per fold, train_aptai.py:872-996) — each fold still
+    gets a fresh parameter init (seed + fold);
+  * validation/test run at the training batch size through the bucketed
+    loader (the reference evaluates at batch 1, train_aptai.py:74-76).
 """
 
 from __future__ import annotations
@@ -24,6 +32,7 @@ from aptai_tpu.train.builders import build_aptai_model
 from aptai_tpu.train.checkpoints import CheckpointManager, save_json
 from aptai_tpu.train.config import APTAIConfig, parse_config
 from aptai_tpu.train.evaluate import test_tv, validate_tv
+from aptai_tpu.train.harness import make_engine
 from aptai_tpu.train.loop import fit
 from aptai_tpu.utils.logging import RunLogger
 from aptai_tpu.train.metrics import aggregate_mean_std, dict_to_csv
@@ -63,25 +72,24 @@ def _loader(df, vocab, batch_size, shuffle, seed=0):
     )
 
 
-def run_speaker(cfg, hprc_df, vocab, test_spk, tiny_backbone=None):
+def run_speaker(cfg, hprc_df, vocab, test_spk, model, params, model_cfg,
+                eval_fwd, engine):
     """One LOSO fold; returns the test metric dict for this speaker."""
     exp_dir = Path(cfg.exp_dir)
     train_df, valid_df, test_n_df, test_f_df = loso_split(
         hprc_df, test_spk, cfg.train_val_rate, seed=cfg.seed
     )
+    eval_bs = cfg.eval_batch_size or cfg.batch_size
     train_dl = PrefetchLoader(
         _loader(train_df, vocab, cfg.batch_size, True, cfg.seed))
-    valid_dl = _loader(valid_df, vocab, 1, False)
-    test_n_dl = _loader(test_n_df, vocab, 1, False)
-    test_f_dl = _loader(test_f_df, vocab, 1, False)
+    valid_dl = _loader(valid_df, vocab, eval_bs, False)
+    test_n_dl = _loader(test_n_df, vocab, eval_bs, False)
+    test_f_dl = _loader(test_f_df, vocab, eval_bs, False)
 
-    model, params, model_cfg = build_aptai_model(cfg, vocab,
-                                                 tiny=tiny_backbone)
-    eval_fwd = make_eval_forward(model)
     max_b = 5 if cfg.laptop else None
 
-    def validate(params_host, epoch):
-        return validate_tv(functools.partial(eval_fwd, params_host),
+    def validate(params_dev, epoch):
+        return validate_tv(functools.partial(eval_fwd, params_dev),
                            valid_dl, max_batches=max_b)
 
     ckpt = CheckpointManager(
@@ -92,11 +100,11 @@ def run_speaker(cfg, hprc_df, vocab, test_spk, tiny_backbone=None):
                        run_name=f"{cfg.prefix}_{test_spk}",
                        use_wandb=cfg.logging)
     final_params, history = fit(
-        cfg, aptai_loss_fn(model), params, train_dl, validate, ckpt,
-        model_cfg=model_cfg, logger=logger,
+        cfg, None, params, train_dl, validate, ckpt,
+        model_cfg=model_cfg, logger=logger, engine=engine,
     )
 
-    best = ckpt.restore_best(final_params)
+    best = jax.device_put(ckpt.restore_best(final_params))
     fwd = functools.partial(eval_fwd, best)
     results = {}
     results.update(test_tv(fwd, test_n_dl, "N",
@@ -127,11 +135,21 @@ def run(cfg: APTAIConfig, tiny_backbone=None, speakers=None):
         vocab = build_vocab(hprc_df.phoneme_labels)
     speakers = speakers or hprc_df["speaker"].unique().tolist()
 
+    # one model + compiled step/eval for all folds; fresh params per fold
+    model, params, model_cfg = build_aptai_model(cfg, vocab,
+                                                 tiny=tiny_backbone)
+    eval_fwd = make_eval_forward(model)
+    engine = make_engine(cfg, aptai_loss_fn(model))
+
     per_speaker = []
-    for test_spk in speakers:
+    for fold, test_spk in enumerate(speakers):
         print(f"=== LOSO fold: held-out speaker {test_spk} ===")
+        if fold > 0:
+            _, params, _ = build_aptai_model(cfg, vocab, tiny=tiny_backbone,
+                                             seed=cfg.seed + fold)
         per_speaker.append(
-            run_speaker(cfg, hprc_df, vocab, test_spk, tiny_backbone)
+            run_speaker(cfg, hprc_df, vocab, test_spk, model, params,
+                        model_cfg, eval_fwd, engine)
         )
 
     mean, std = aggregate_mean_std(per_speaker)

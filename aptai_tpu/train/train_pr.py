@@ -32,6 +32,7 @@ from aptai_tpu.train.builders import build_pr_model
 from aptai_tpu.train.checkpoints import CheckpointManager, save_json
 from aptai_tpu.train.config import PRConfig, parse_config
 from aptai_tpu.train.evaluate import validate_pr
+from aptai_tpu.train.harness import make_engine
 from aptai_tpu.train.loop import fit
 from aptai_tpu.utils.logging import init_logger
 
@@ -48,10 +49,11 @@ def make_loaders(cfg, df, vocab):
     valid_ds = CommonPhoneDataset(valid_df, vocab)
     test_ds = CommonPhoneDataset(test_df, vocab)
     mk = functools.partial(BucketedLoader, collate_fn=collate_ctc)
+    eval_bs = cfg.eval_batch_size or cfg.batch_size
     return (
         PrefetchLoader(mk(train_ds, batch_size=cfg.batch_size, seed=cfg.seed)),
-        mk(valid_ds, batch_size=1, shuffle=False),
-        mk(test_ds, batch_size=1, shuffle=False),
+        mk(valid_ds, batch_size=eval_bs, shuffle=False),
+        mk(test_ds, batch_size=eval_bs, shuffle=False),
         (train_df, valid_df, test_df),
     )
 
@@ -101,11 +103,13 @@ def run(cfg: PRConfig, tiny_backbone=None):
 
     model, params, model_cfg = build_pr_model(cfg, vocab, tiny=tiny_backbone)
     eval_fwd = make_eval_forward(model)
+    engine = make_engine(cfg, pr_loss_fn(model))
 
-    def validate(params_host, epoch):
+    def validate(params_dev, epoch):
         return validate_pr(
-            functools.partial(eval_fwd, params_host), valid_dl,
+            functools.partial(eval_fwd, params_dev), valid_dl,
             max_batches=1 if cfg.laptop else None,
+            decode=cfg.val_decode,
         )
 
     ckpt = CheckpointManager(
@@ -115,14 +119,15 @@ def run(cfg: PRConfig, tiny_backbone=None):
     )
     logger = init_logger(cfg, "phoneme_recognizer")
     final_params, history = fit(
-        cfg, pr_loss_fn(model), params, train_dl, validate, ckpt,
+        cfg, None, params, train_dl, validate, ckpt,
         model_cfg=model_cfg,
         samples_per_epoch=cfg.samples_per_epoch,
-        logger=logger,
+        logger=logger, engine=engine,
     )
 
-    # test: best checkpoint on CP-test + HPRC N/F (reference :687-725)
-    best_params = ckpt.restore_best(final_params)
+    # test: best checkpoint on CP-test + HPRC N/F (reference :687-725);
+    # always beam-decoded, matching the reference's reported-PER protocol
+    best_params = jax.device_put(ckpt.restore_best(final_params))
     results = {}
     fwd = functools.partial(eval_fwd, best_params)
     max_b = 1 if cfg.laptop else None
@@ -132,7 +137,8 @@ def run(cfg: PRConfig, tiny_backbone=None):
         hprc_df = pd.read_csv(cfg.hprc_csv_path)
         for rate in ("N", "F"):
             dl = BucketedLoader(
-                HPRCDataset(hprc_df, vocab, rate=rate), batch_size=1,
+                HPRCDataset(hprc_df, vocab, rate=rate),
+                batch_size=cfg.eval_batch_size or cfg.batch_size,
                 collate_fn=collate_ctc, shuffle=False,
             )
             results[f"mean_hprc{rate}_per"] = validate_pr(fwd, dl, max_b)[
