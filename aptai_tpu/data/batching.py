@@ -95,6 +95,14 @@ class BucketedLoader:
     Exhausts every example each epoch (last partial batch of each bucket is
     repeated-padded to full batch size with ``batch_pad_mask`` marking real
     rows — keeping shapes static without dropping data).
+
+    Multi-host data parallelism (new scope; the reference is single-process,
+    SURVEY.md §2.3): with ``process_count > 1`` every process composes the
+    *identical* global batch sequence (same seed → same permutation and
+    bucketing) but materializes only its disjoint row shard
+    ``[process_index·B/N, (process_index+1)·B/N)`` — so per-step shapes agree
+    across hosts and the union of shards is exactly the single-process
+    global batch.
     """
 
     def __init__(
@@ -105,17 +113,32 @@ class BucketedLoader:
         shuffle: bool = True,
         seed: int = 0,
         audio_bucket: int = AUDIO_BUCKET,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
+        if batch_size % process_count:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by "
+                f"process_count {process_count}"
+            )
+        if not 0 <= process_index < process_count:
+            raise ValueError(f"process_index {process_index} out of range")
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate_fn = collate_fn
         self.shuffle = shuffle
         self.audio_bucket = audio_bucket
+        self.process_index = process_index
+        self.process_count = process_count
         self._rng = np.random.default_rng(seed)
         self._epoch = 0
 
     def __len__(self) -> int:
         return math.ceil(len(self.dataset) / self.batch_size)
+
+    @property
+    def local_batch_size(self) -> int:
+        return self.batch_size // self.process_count
 
     def _item_width(self, item) -> int:
         return _round_up(item["audio_len"], self.audio_bucket)
@@ -143,10 +166,16 @@ class BucketedLoader:
         real = len(items)
         while len(items) < self.batch_size:
             items.append(items[len(items) % real])
-        batch = self.collate_fn(items)
         mask = np.zeros(self.batch_size, bool)
         mask[:real] = True
+        # collate globally (pad widths must agree across hosts), then slice
+        # this process's row shard
+        batch = self.collate_fn(items)
         batch["batch_pad_mask"] = mask
+        if self.process_count > 1:
+            lo = self.process_index * self.local_batch_size
+            hi = lo + self.local_batch_size
+            batch = {k: v[lo:hi] for k, v in batch.items()}
         return batch
 
 

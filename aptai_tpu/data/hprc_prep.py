@@ -276,6 +276,68 @@ def speaker_stats(tv_files: List[Dict[str, np.ndarray]]):
     return stats_min, stats_max, stats_mean, stats_std
 
 
+def _minmax_to_unit_range(v: np.ndarray, lo: float, hi: float) -> np.ndarray:
+    """Min-max scale to [-1, 1]: ``-1 + 2 (v - lo) / (hi - lo)``
+    (reference data/dataset_hprc.py:1049-1053)."""
+    return -1.0 + (np.asarray(v, np.float64) - lo) * 2.0 / (hi - lo)
+
+
+def global_stats(
+    tv_files: List[Dict[str, np.ndarray]],
+    rates: List[str],
+    rate: str = "both",
+):
+    """Cross-speaker, rate-constrained stats for the *global* normalization
+    scheme (reference ``hprc_tvs_norm``, data/dataset_hprc.py:968-1242):
+
+      1. per-TV global min/max over the raw TVs of every utterance whose
+         rate matches (``get_min_max_hprc``, :1450-1594);
+      2. per-TV mean/std computed over the *min-max-normalized* values of
+         those utterances (``get_mean_std``, :1390-1447).
+
+    Args:
+      tv_files: one raw TV dict per utterance (all speakers pooled).
+      rates: the utterance rate ('N'/'F') per entry, same order.
+      rate: 'N' | 'F' | 'both' — which utterances constrain the stats.
+
+    Returns ``(gmin, gmax, gmean, gstd)`` dicts keyed by TV name.
+    """
+    assert rate in ("N", "F", "both")
+    assert len(tv_files) == len(rates)
+    sel = [t for t, r in zip(tv_files, rates) if rate == "both" or r == rate]
+    if not sel:
+        raise ValueError(f"no utterances match rate={rate!r}")
+    gmin, gmax, gmean, gstd = {}, {}, {}, {}
+    for k in TV_ORDER:
+        allv = np.concatenate([np.asarray(t[k], np.float64) for t in sel])
+        gmin[k] = float(np.nanmin(allv))
+        gmax[k] = float(np.nanmax(allv))
+        scaled = _minmax_to_unit_range(allv, gmin[k], gmax[k])
+        gmean[k] = float(np.nanmean(scaled))
+        gstd[k] = float(np.nanstd(scaled))
+    return gmin, gmax, gmean, gstd
+
+
+def minmax_zscore_global(
+    tvs: Dict[str, np.ndarray],
+    gmin: Dict[str, float],
+    gmax: Dict[str, float],
+    gmean: Dict[str, float],
+    gstd: Dict[str, float],
+) -> Dict[str, np.ndarray]:
+    """The global normalization variant: per-TV min-max to [-1, 1] with the
+    cross-speaker range, then z-score with the cross-speaker moments of the
+    scaled data (reference data/dataset_hprc.py:1123-1139; stats from
+    :func:`global_stats`).  Completes the 4-scheme set promised by
+    SURVEY.md C11 (utterance z-score, speaker min-max, speaker z-score,
+    global min-max+z-score)."""
+    out = {}
+    for k, v in tvs.items():
+        scaled = _minmax_to_unit_range(v, gmin[k], gmax[k])
+        out[k] = (scaled - gmean[k]) / gstd[k]
+    return out
+
+
 # ---------------------------------------------------------------------------
 # 6. Frame-rate interpolation
 # ---------------------------------------------------------------------------
@@ -383,16 +445,81 @@ def compute_utterance_mfcc(wav_16k: np.ndarray, n_mfcc: int = 13) -> np.ndarray:
     return out.T
 
 
+def nccf_pitch(
+    wav: np.ndarray,
+    fs: int = SAMPLE_RATE,
+    hop_length: int = 256,
+    lo: float = 50.0,
+    hi: float = 600.0,
+    voicing_threshold: float = 0.3,
+) -> np.ndarray:
+    """Dependency-free F0 tracker: normalized cross-correlation (the NCCF
+    at the core of RAPT — D. Talkin, "A Robust Algorithm for Pitch
+    Tracking", 1995) with parabolic peak interpolation and an
+    NCCF-threshold voicing decision.
+
+    Stands in for ``pysptk.sptk.rapt(..., otype=1)`` (used by the reference
+    at data/dataset_hprc.py:1959): one F0 value in Hz per ``hop_length``
+    samples, 0.0 for unvoiced frames.
+    """
+    wav = np.asarray(wav, np.float64)
+    wav = wav - np.mean(wav)
+    lag_min = max(int(fs / hi), 2)
+    lag_max = int(np.ceil(fs / lo))
+    win = lag_max  # ≥ one period of the lowest trackable F0
+    n_frames = 1 + len(wav) // hop_length  # pysptk rapt frame count
+    need = (n_frames - 1) * hop_length + win + lag_max + 1
+    if need > len(wav):
+        wav = np.pad(wav, (0, need - len(wav)))
+
+    starts = np.arange(n_frames) * hop_length
+    idx = starts[:, None] + np.arange(win + lag_max + 1)[None, :]
+    frames = wav[idx]                                # (F, win+lag_max+1)
+    base = frames[:, :win]                           # (F, win)
+    e0 = np.sum(base * base, axis=1)                 # (F,)
+
+    lags = np.arange(lag_min, lag_max + 1)
+    nccf = np.zeros((n_frames, len(lags)))
+    for j, k in enumerate(lags):
+        shifted = frames[:, k : k + win]
+        ek = np.sum(shifted * shifted, axis=1)
+        denom = np.sqrt(e0 * ek)
+        num = np.sum(base * shifted, axis=1)
+        nccf[:, j] = np.where(denom > 0, num / np.maximum(denom, 1e-12), 0.0)
+
+    best = np.argmax(nccf, axis=1)                   # (F,)
+    peak = nccf[np.arange(n_frames), best]
+
+    # parabolic interpolation around the NCCF peak for sub-sample lag
+    prev_i = np.clip(best - 1, 0, len(lags) - 1)
+    next_i = np.clip(best + 1, 0, len(lags) - 1)
+    y0 = nccf[np.arange(n_frames), prev_i]
+    y1 = peak
+    y2 = nccf[np.arange(n_frames), next_i]
+    denom = y0 - 2 * y1 + y2
+    shift = np.where(np.abs(denom) > 1e-12,
+                     0.5 * (y0 - y2) / np.where(denom == 0, 1, denom), 0.0)
+    shift = np.clip(shift, -0.5, 0.5)
+    lag = lags[best] + shift
+
+    # voicing: strong periodicity AND non-trivial frame energy
+    energy_gate = e0 > 1e-6 * max(float(np.max(e0)), 1e-12)
+    voiced = (peak >= voicing_threshold) & energy_gate
+    return np.where(voiced, fs / lag, 0.0)
+
+
 def compute_f0_rapt(wav_16k: np.ndarray, speaker: str,
-                    hop_length: int = 256) -> Optional[np.ndarray]:
-    """RAPT F0 with the reference's per-gender ranges
+                    hop_length: int = 256) -> np.ndarray:
+    """F0 with the reference's per-gender ranges
     (reference data/dataset_hprc.py:1935-2003; M: 50–250 Hz, F: 100–600 Hz).
-    Requires ``pysptk`` (not in the base image) — returns None when absent."""
+    Uses ``pysptk``'s RAPT when installed, otherwise the in-repo NCCF
+    tracker (:func:`nccf_pitch`) — the pipeline never loses the F0 feature
+    to a missing dependency."""
+    lo, hi = (50, 250) if speaker.startswith("M") else (100, 600)
     try:
         import pysptk as sptk
     except ImportError:
-        return None
-    lo, hi = (50, 250) if speaker.startswith("M") else (100, 600)
+        return nccf_pitch(wav_16k, SAMPLE_RATE, hop_length, lo, hi)
     return sptk.rapt((np.asarray(wav_16k, np.float32) * 32768), SAMPLE_RATE,
                      hop_length, min=lo, max=hi, otype=1)
 

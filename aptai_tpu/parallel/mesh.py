@@ -106,14 +106,24 @@ def shard_tree(mesh: Mesh, tree):
 
 
 def shard_batch(mesh: Mesh, batch):
-    """``device_put`` a batch pytree with the leading dim over ``data``.
+    """Place a batch pytree with the leading dim sharded over ``data``.
 
     Falls back to replication when the batch size does not divide the data
     axis (small eval/debug batches) — correctness first, then speed.
+
+    Multi-host: each process holds only its row shard (see
+    ``BucketedLoader(process_count=...)``), so the global array is assembled
+    from process-local data — DP then extends across hosts with XLA
+    collectives over ICI/DCN exactly as on one host.
     """
     n_data = mesh.shape[DATA_AXIS]
+    multihost = jax.process_count() > 1
 
     def put(x):
+        if multihost and getattr(x, "ndim", 0) >= 1:
+            return jax.make_array_from_process_local_data(
+                NamedSharding(mesh, P(DATA_AXIS)), np.asarray(x)
+            )
         if getattr(x, "ndim", 0) >= 1 and x.shape[0] % n_data == 0:
             return jax.device_put(x, NamedSharding(mesh, P(DATA_AXIS)))
         return jax.device_put(x, NamedSharding(mesh, P()))

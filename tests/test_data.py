@@ -272,3 +272,34 @@ def test_commonphone_csv_builder(tmp_path):
     remap_speakers(out)
     df2 = pd.read_csv(out)
     assert set(df2.speaker) <= {0, 1}
+
+
+def test_multiprocess_sharded_loader_matches_global(tmp_path):
+    """Per-process disjoint row shards reassemble the single-process global
+    batches exactly (multi-host DP input pipeline; VERDICT r1 next #10)."""
+    csv_path = make_synthetic_commonphone(tmp_path, 9, 1, 1)
+    df = pd.read_csv(csv_path)
+    vocab = build_vocab(df.phonemes)
+    ds = CommonPhoneDataset(df[df.split == "train"], vocab)
+
+    def loaders():
+        mk = lambda **kw: BucketedLoader(
+            ds, batch_size=4, collate_fn=collate_ctc, shuffle=True, seed=3,
+            **kw)
+        return mk(), mk(process_index=0, process_count=2), mk(
+            process_index=1, process_count=2)
+
+    g, p0, p1 = loaders()
+    n_batches = 0
+    for gb, b0, b1 in zip(g, p0, p1):
+        n_batches += 1
+        assert b0["audio"].shape[0] == 2 and b1["audio"].shape[0] == 2
+        for k in gb:
+            merged = np.concatenate([b0[k], b1[k]], axis=0)
+            np.testing.assert_array_equal(
+                merged, gb[k], err_msg=f"shard mismatch in {k}")
+    assert n_batches == len(g)
+
+    with pytest.raises(ValueError):
+        BucketedLoader(ds, batch_size=5, collate_fn=collate_ctc,
+                       process_index=0, process_count=2)

@@ -193,3 +193,75 @@ def test_gaussian_smooth_tvs(rng):
     tvs = {"JA": rng.standard_normal(100)}
     sm = gaussian_smooth_tvs(tvs, sigma=2.0)
     assert sm["JA"].std() < tvs["JA"].std()
+
+
+def test_global_minmax_zscore_normalization(rng):
+    """Global variant vs a literal port of reference hprc_tvs_norm
+    (data/dataset_hprc.py:968-1242): min-max to [-1,1] with cross-speaker
+    rate-constrained range, then z-score with moments of the scaled data."""
+    from aptai_tpu.data.hprc_prep import global_stats, minmax_zscore_global
+
+    tv_files = [
+        {k: rng.standard_normal(30) * (i + 1) + 2 * i
+         for i, k in enumerate(TV_ORDER)}
+        for _ in range(6)
+    ]
+    rates = ["N", "F", "N", "F", "N", "F"]
+
+    for rate in ("N", "F", "both"):
+        gmin, gmax, gmean, gstd = global_stats(tv_files, rates, rate)
+        sel = [t for t, r in zip(tv_files, rates)
+               if rate == "both" or r == rate]
+        for k in TV_ORDER:
+            allv = np.concatenate([t[k] for t in sel])
+            assert gmin[k] == pytest.approx(allv.min())
+            assert gmax[k] == pytest.approx(allv.max())
+            # reference formula: -1 + (v - min)*(1 - -1)/(max - min)
+            scaled = -1 + (allv - allv.min()) * 2 / (allv.max() - allv.min())
+            assert gmean[k] == pytest.approx(np.nanmean(scaled))
+            assert gstd[k] == pytest.approx(np.nanstd(scaled))
+
+        out = minmax_zscore_global(tv_files[0], gmin, gmax, gmean, gstd)
+        for k in TV_ORDER:
+            want = -1 + ((tv_files[0][k] - gmin[k]) * (1 - -1)) / (
+                gmax[k] - gmin[k])
+            want = (want - gmean[k]) / gstd[k]
+            np.testing.assert_allclose(out[k], want, rtol=1e-12)
+
+    # pooled over everything, the normalized corpus is ~N(0, 1)
+    gmin, gmax, gmean, gstd = global_stats(tv_files, rates, "both")
+    pooled = {k: np.concatenate(
+        [minmax_zscore_global(t, gmin, gmax, gmean, gstd)[k]
+         for t in tv_files]) for k in TV_ORDER}
+    for k in TV_ORDER:
+        assert abs(pooled[k].mean()) < 1e-10
+        assert pooled[k].std() == pytest.approx(1.0)
+
+
+def test_nccf_pitch_tracks_sines_and_silence():
+    from aptai_tpu.data.hprc_prep import compute_f0_rapt, nccf_pitch
+
+    fs = 16000
+    t = np.arange(int(1.0 * fs)) / fs
+    for f0, speaker in ((120.0, "M01"), (220.0, "F03")):
+        wav = np.sin(2 * np.pi * f0 * t).astype(np.float32)
+        est = compute_f0_rapt(wav, speaker)
+        assert len(est) == 1 + len(wav) // 256
+        voiced = est[est > 0]
+        assert len(voiced) > 0.8 * len(est)
+        # median within 2 Hz of the true pitch
+        assert abs(np.median(voiced) - f0) < 2.0
+
+    # silence (plus tiny noise) must come out unvoiced
+    rng = np.random.default_rng(0)
+    noise = (rng.standard_normal(fs) * 1e-4).astype(np.float32)
+    est = nccf_pitch(noise, fs, 256, 50, 600)
+    assert (est == 0).mean() > 0.9
+
+    # voiced/unvoiced alternation: second half silent
+    wav = np.concatenate([np.sin(2 * np.pi * 150.0 * t[: fs // 2]),
+                          np.zeros(fs // 2)]).astype(np.float32)
+    est = nccf_pitch(wav, fs, 256, 50, 250)
+    half = len(est) // 2
+    assert (est[: half - 3] > 0).mean() > 0.8
+    assert (est[half + 3 :] == 0).mean() > 0.8
