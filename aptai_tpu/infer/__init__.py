@@ -6,7 +6,8 @@ from aptai_tpu.infer.api import (
     ForceAPTAIPredictor,
     W2V2PRPredictor,
 )
-from aptai_tpu.infer.streaming import StreamingAPTAI
+from aptai_tpu.infer.streaming import (StreamingAPTAI, StreamingForceAPTAI,
+                                       StreamingPredictor)
 from aptai_tpu.infer.server import MicroBatcher
 
 __all__ = [
@@ -14,5 +15,7 @@ __all__ = [
     "ForceAPTAIPredictor",
     "W2V2PRPredictor",
     "StreamingAPTAI",
+    "StreamingForceAPTAI",
+    "StreamingPredictor",
     "MicroBatcher",
 ]

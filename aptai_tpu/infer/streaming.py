@@ -6,18 +6,25 @@ long-context path at all — SURVEY.md §5.7).  Strategy:
   * slice arbitrarily long audio into fixed ``chunk_seconds`` windows with
     ``overlap_seconds`` of bilateral context (one compiled program per
     chunk shape — no recompile storms);
-  * run the APTAI forward per chunk (the transformer sees the full chunk,
-    so every retained frame has ≥ overlap/2 seconds of acoustic context);
+  * run the model's ``predict`` per chunk (the transformer sees the full
+    chunk, so every retained frame has ≥ overlap/2 seconds of acoustic
+    context);
   * stitch frame outputs at chunk centers (drop half the overlap on each
     side), preserving the 20 ms frame grid;
   * frame-level phoneme alignment comes out of the same pass (argmax on
     device), so hour-long recordings decode without ever materializing
     full-length attention.
+
+Both model families stream: :class:`StreamingAPTAI` stitches the APTAI
+per-frame outputs, :class:`StreamingForceAPTAI` the FORCE-APTAI alignment
+outputs (reference inference surfaces models/force_aptai.py:188-322 are
+batch-1 and bounded to 60 phonemes; here the 60-phoneme cap applies per
+chunk, so arbitrarily long recordings align chunk-locally).
 """
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Dict, List, Sequence, Tuple
 
 import jax
 import numpy as np
@@ -25,10 +32,16 @@ import numpy as np
 from aptai_tpu import FRAME_RATE_HZ, SAMPLE_RATE, TV_ORDER
 
 
-class StreamingAPTAI:
+class StreamingPredictor:
+    """Chunked streaming over any model exposing a batched ``predict``
+    method whose outputs include per-frame arrays named in ``frame_keys``."""
+
+    frame_keys: Tuple[str, ...] = ("tvs_pred",)
+
     def __init__(self, model, params, chunk_seconds: float = 20.0,
                  overlap_seconds: float = 2.0, mesh=None,
-                 chunk_batch: int = 1):
+                 chunk_batch: int = 1,
+                 frame_keys: Sequence[str] | None = None):
         """``mesh`` + ``chunk_batch`` > 1 enable *sequence parallelism for a
         single long recording*: consecutive chunks are batched and the batch
         axis shards over the mesh's data axis, so one hour-long file spreads
@@ -38,6 +51,8 @@ class StreamingAPTAI:
             raise ValueError("overlap must be smaller than the chunk")
         self.model = model
         self.mesh = mesh
+        if frame_keys is not None:
+            self.frame_keys = tuple(frame_keys)
         if mesh is not None:
             from aptai_tpu.parallel import shard_tree
 
@@ -47,7 +62,7 @@ class StreamingAPTAI:
         self.chunk = int(chunk_seconds * SAMPLE_RATE)
         self.overlap = int(overlap_seconds * SAMPLE_RATE)
         frame_hop = 1
-        for s in model.cfg.conv_stride:
+        for s in model_cfg_strides(model):
             frame_hop *= s
         # hop must be a frame-hop multiple for exact frame tiling
         self.hop = ((self.chunk - self.overlap) // frame_hop) * frame_hop
@@ -66,12 +81,18 @@ class StreamingAPTAI:
         return self._fwd(self.params, padded, lens)
 
     def _frames_for(self, n_samples: int) -> int:
-        return int(self.model.cfg.feat_extract_output_lengths(
+        return int(_model_cfg(self.model).feat_extract_output_lengths(
             np.asarray(n_samples)))
+
+    def _format(self, stitched: Dict[str, np.ndarray]) -> Dict:
+        """Post-process the stitched frame arrays into the output dict."""
+        out = dict(stitched)
+        out["frame_rate_hz"] = FRAME_RATE_HZ
+        return out
 
     def predict(self, wav: np.ndarray) -> Dict:
         """Stream one long waveform; returns stitched per-frame outputs
-        (same keys as APTAI ``predict``, but unbounded duration)."""
+        (same keys as the model's ``predict``, but unbounded duration)."""
         wav = np.asarray(wav, np.float32)
         if len(wav) <= self.chunk:
             chunks = [wav]
@@ -80,15 +101,13 @@ class StreamingAPTAI:
             starts = list(range(0, len(wav) - self.overlap, self.hop))
             chunks = [wav[s : s + self.chunk] for s in starts]
 
-        tvs_parts: List[np.ndarray] = []
-        phn_parts: List[np.ndarray] = []
-        prob_parts: List[np.ndarray] = []
+        parts: Dict[str, List[np.ndarray]] = {k: [] for k in self.frame_keys}
 
         # exact frame tiling: the conv stack is shift-invariant per
         # frame_hop_samples (= Π strides), and hop is a multiple of it, so
         # chunk-local frame t maps to absolute frame t + start/frame_hop
         frame_hop = 1
-        for s_ in self.model.cfg.conv_stride:
+        for s_ in model_cfg_strides(self.model):
             frame_hop *= s_
         half_ov_frames = self._frames_for(self.overlap) // 2
         prev_end_abs = 0
@@ -113,26 +132,60 @@ class StreamingAPTAI:
                 l = np.concatenate([l, np.repeat(l[-1:], reps)])
             out = self._run_chunks(p, l)
             for j in range(grp.stop - grp.start):
-                outs.append(jax.tree.map(lambda a: np.asarray(a)[j], out))
+                outs.append({k: np.asarray(out[k])[j]
+                             for k in self.frame_keys})
 
         for i, (s, out) in enumerate(zip(starts, outs)):
             t = self._frames_for(int(lens[i]))
-            tvs = out["tvs_pred"][:t]
-            phn = out["phn_fc_pred"][:t]
-            probs = out["phn_fc_probs"][:t]
-
             offset = s // frame_hop
             lo = max(prev_end_abs - offset, 0)
             hi = t if i == n_chunks - 1 else t - half_ov_frames
             prev_end_abs = offset + hi
-            tvs_parts.append(tvs[lo:hi])
-            phn_parts.append(phn[lo:hi])
-            prob_parts.append(probs[lo:hi])
+            for k in self.frame_keys:
+                parts[k].append(out[k][:t][lo:hi])
 
-        tvs_all = np.concatenate(tvs_parts, axis=0)
+        return self._format(
+            {k: np.concatenate(v, axis=0) for k, v in parts.items()}
+        )
+
+
+def _model_cfg(model):
+    """The backbone config: ``cfg`` on W2V2PR/APTAI, ``pr_cfg`` on
+    ForceAPTAI."""
+    return getattr(model, "cfg", None) or getattr(model, "pr_cfg")
+
+
+def model_cfg_strides(model):
+    return _model_cfg(model).conv_stride
+
+
+class StreamingAPTAI(StreamingPredictor):
+    """Streaming APTAI: stitched TV trajectories + frame phonemes + probs."""
+
+    frame_keys = ("tvs_pred", "phn_fc_pred", "phn_fc_probs")
+
+    def _format(self, stitched):
+        tvs_all = stitched["tvs_pred"]
         return {
             "tvs_pred": {k: tvs_all[:, i] for i, k in enumerate(TV_ORDER)},
-            "phn_fc_pred": np.concatenate(phn_parts, axis=0),
-            "phn_fc_probs": np.concatenate(prob_parts, axis=0),
+            "phn_fc_pred": stitched["phn_fc_pred"],
+            "phn_fc_probs": stitched["phn_fc_probs"],
+            "frame_rate_hz": FRAME_RATE_HZ,
+        }
+
+
+class StreamingForceAPTAI(StreamingPredictor):
+    """Streaming FORCE-APTAI: stitched TV trajectories + frame phonemes from
+    the chunk-local forced alignment (the reference's get_faptai_output is
+    batch-1 and ≤60 phonemes, models/force_aptai.py:238-322; the cap applies
+    per chunk here, so duration is unbounded)."""
+
+    frame_keys = ("tvs_pred", "pred_frame_phns")
+
+    def _format(self, stitched):
+        tvs_all = stitched["tvs_pred"]
+        return {
+            "tvs_pred": {k: tvs_all[:, i] for i, k in enumerate(TV_ORDER)},
+            "pred_frame_phns": stitched["pred_frame_phns"],
             "frame_rate_hz": FRAME_RATE_HZ,
         }

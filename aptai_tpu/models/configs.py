@@ -65,6 +65,10 @@ class Wav2Vec2Config:
     # numerics
     layer_norm_eps: float = 1e-5
     dtype: str = "float32"  # compute dtype: "float32" | "bfloat16"
+    # attention activation layout: "bhtd" projects straight into the flash
+    # kernel's (B, H, T, D) layout (einsum projections, identical params) —
+    # no per-layer relayout; "bthd" is the classic (B, T, H, D) path.
+    attention_layout: str = "bhtd"
     fused_qkv: bool = False  # single QKV GEMM (param tree changes; see
     #                          hf_convert.convert_wav2vec2_encoder(fused_qkv=))
     fused_feature_extractor: bool = False  # Pallas conv+LN+GELU kernel

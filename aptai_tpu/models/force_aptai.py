@@ -41,6 +41,45 @@ from aptai_tpu.ops.forward_sum import forward_sum_loss
 NUM_TVS = 9
 
 
+def _host_beam_decode(logits, frame_lengths, max_len: int):
+    """The reference's in-step decode, faithfully: ship log-probs to the
+    host, run the flashlight-style beam search (C++ when built), return the
+    padded sequences (reference models/w2v2_pr.py:144-155 called from
+    force_aptai.py:97).  Exists so the greedy substitution can be evaluated
+    head-to-head (SURVEY.md §7.3 item 1); the device→host→device round trip
+    per step is exactly the cost the greedy default removes."""
+    import numpy as np
+
+    b = logits.shape[0]
+
+    def host(lp, fl):
+        from aptai_tpu.decode.beam import beam_search
+        from aptai_tpu.decode.native import beam_search_native
+
+        lp, fl = np.asarray(lp), np.asarray(fl)
+        out = np.zeros((b, max_len), np.int32)
+        lens = np.zeros((b,), np.int32)
+        trunc = np.zeros((b,), np.int32)
+        for i in range(b):
+            nat = beam_search_native(lp[i, : fl[i]])
+            toks = (nat[0] if nat is not None
+                    else list(beam_search(lp[i, : fl[i]])[0].tokens))
+            n = min(len(toks), max_len)
+            out[i, :n] = toks[:n]
+            lens[i] = n
+            trunc[i] = max(len(toks) - max_len, 0)
+        return out, lens, trunc
+
+    log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return jax.pure_callback(
+        host,
+        (jax.ShapeDtypeStruct((b, max_len), jnp.int32),
+         jax.ShapeDtypeStruct((b,), jnp.int32),
+         jax.ShapeDtypeStruct((b,), jnp.int32)),
+        log_probs, frame_lengths,
+    )
+
+
 class ForceAPTAI(nn.Module):
     pr_cfg: Wav2Vec2Config
     vocab_size: int = 46
@@ -52,6 +91,12 @@ class ForceAPTAI(nn.Module):
     att_hidden_dim: int = 128      # force_aptai.py:33
     lowpass_cutoff_hz: float = 10.0
     frame_rate_hz: float = float(FRAME_RATE_HZ)
+    # in-step CTC decode: "greedy" = batched on-device collapse (the
+    # TPU-native default); "beam_host" = the reference's exact behavior — a
+    # host beam search round-trip inside the step (w2v2_pr.py:144-155 via
+    # force_aptai.py:97), kept for the greedy-vs-beam quality comparison
+    # (SURVEY.md §7.3 item 1; benchmarks/greedy_vs_beam.py)
+    decode_method: str = "greedy"
 
     def setup(self):
         self.w2v2_pr = W2V2PR(self.pr_cfg)
@@ -80,10 +125,17 @@ class ForceAPTAI(nn.Module):
         logits = jax.lax.stop_gradient(pr_out["phoneme_logits"])
         frame_lengths = pr_out["frame_lengths"]
 
-        phn_pred_seq, phn_seq_lengths = greedy_decode(
-            logits, frame_lengths, blank=0,
-            max_output_length=self.max_phn_seq_len,
-        )
+        if self.decode_method == "beam_host":
+            phn_pred_seq, phn_seq_lengths, phn_seq_truncated = (
+                _host_beam_decode(logits, frame_lengths,
+                                  self.max_phn_seq_len)
+            )
+        else:
+            phn_pred_seq, phn_seq_lengths, phn_seq_truncated = greedy_decode(
+                logits, frame_lengths, blank=0,
+                max_output_length=self.max_phn_seq_len,
+                return_truncated=True,
+            )
         phn_pred_mask = (phn_pred_seq != 0).astype(jnp.int32)
 
         phn_embs = self.phn_encoder(phn_pred_seq, deterministic=deterministic)
@@ -98,6 +150,7 @@ class ForceAPTAI(nn.Module):
             "att": att,
             "phn_pred_seq": phn_pred_seq,
             "phn_seq_lengths": phn_seq_lengths,
+            "phn_seq_truncated": phn_seq_truncated,
             "frame_lengths": frame_lengths,
         }
 
@@ -142,6 +195,7 @@ class ForceAPTAI(nn.Module):
             "pred_frame_phns": pred_frame_phns,
             "pred_ctc_phn_seq": a["phn_pred_seq"],
             "phn_seq_lengths": a["phn_seq_lengths"],
+            "phn_seq_truncated": a["phn_seq_truncated"],
             "frame_lengths": frame_lengths,
         }
 
@@ -181,6 +235,7 @@ class ForceAPTAI(nn.Module):
             "pred_frame_phns": pred_frame_phns,
             "pred_ctc_phn_seq": a["phn_pred_seq"],
             "phn_seq_lengths": a["phn_seq_lengths"],
+            "phn_seq_truncated": a["phn_seq_truncated"],
             "hidden_alignment": a["att_out"],
             "hidden_tvs": rnn_hidden,
             "frame_lengths": a["frame_lengths"],

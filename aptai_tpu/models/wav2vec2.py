@@ -35,7 +35,8 @@ import numpy as np
 import flax.linen as nn
 
 from aptai_tpu.models.configs import Wav2Vec2Config
-from aptai_tpu.ops.attention import multi_head_attention
+from aptai_tpu.ops.attention import (multi_head_attention,
+                                     multi_head_attention_bhtd)
 
 
 def _gelu(x):
@@ -275,6 +276,54 @@ class PositionalConvEmbedding(nn.Module):
         return _gelu(h)
 
 
+class HeadProjBHTD(nn.Module):
+    """Linear projection straight into the kernel layout (B, H, T, D).
+
+    Parameter tree is identical to ``nn.Dense`` (kernel (C, C), bias (C,)),
+    so HF conversion and checkpoints are unaffected — only the einsum output
+    layout differs, letting XLA write the attention kernel's native layout
+    instead of materializing a (B, T, H, D) → (B·H, T, D) relayout per
+    projection (benchmarks/PERF.md round-1 open item #1)."""
+
+    hidden: int
+    heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # (B, T, C) -> (B, H, T, D)
+        c = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (c, self.hidden), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.hidden,),
+                          jnp.float32)
+        d = self.hidden // self.heads
+        k = kernel.reshape(c, self.heads, d).astype(self.dtype)
+        y = jnp.einsum("btc,chd->bhtd", x, k,
+                       preferred_element_type=self.dtype)
+        return y + bias.reshape(self.heads, d).astype(self.dtype)[
+            None, :, None, :]
+
+
+class OutProjBHTD(nn.Module):
+    """Output projection consuming (B, H, T, D) directly (same param tree
+    as ``nn.Dense`` on the flattened (B, T, C) context)."""
+
+    hidden: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, ctx):  # (B, H, T, D) -> (B, T, C)
+        _, h, _, d = ctx.shape
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (h * d, self.hidden), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.hidden,),
+                          jnp.float32)
+        k = kernel.reshape(h, d, self.hidden).astype(self.dtype)
+        return jnp.einsum("bhtd,hdc->btc", ctx, k,
+                          preferred_element_type=self.dtype
+                          ) + bias.astype(self.dtype)
+
+
 class SelfAttention(nn.Module):
     cfg: Wav2Vec2Config
 
@@ -284,6 +333,18 @@ class SelfAttention(nn.Module):
         dtype = _compute_dtype(cfg)
         h_heads, d = cfg.num_attention_heads, cfg.head_dim
         b, t, _ = x.shape
+
+        if cfg.attention_layout == "bhtd" and not cfg.fused_qkv:
+            def proj(name):
+                return HeadProjBHTD(cfg.hidden_size, h_heads, dtype=dtype,
+                                    name=name)
+
+            q, k, v = (proj(n)(x) for n in ("q_proj", "k_proj", "v_proj"))
+            ctx = multi_head_attention_bhtd(q, k, v, lengths)
+            out = OutProjBHTD(cfg.hidden_size, dtype=dtype,
+                              name="out_proj")(ctx)
+            return nn.Dropout(cfg.attention_dropout)(
+                out, deterministic=deterministic)
 
         if cfg.fused_qkv:
             qkv = nn.Dense(3 * cfg.hidden_size, dtype=dtype,
@@ -421,6 +482,19 @@ class Wav2Vec2Encoder(nn.Module):
                 cfg.mask_time_length, cfg.mask_time_min_masks
             ) & frame_mask
             h = jnp.where(time_mask[:, :, None], mask_emb.astype(h.dtype), h)
+        if (cfg.apply_spec_augment and not deterministic
+                and cfg.mask_feature_prob > 0):
+            # feature-dimension SpecAugment (HF `_mask_hidden_states`):
+            # masked hidden channels are zeroed across every time step of
+            # the item (span sampling reuses the time-mask machinery with
+            # the channel axis as "time")
+            c = h.shape[-1]
+            feat_mask = _compute_time_mask(
+                self.make_rng("specaugment"), b, c,
+                jnp.full((b,), c, jnp.int32), cfg.mask_feature_prob,
+                cfg.mask_feature_length, cfg.mask_feature_min_masks,
+            )  # (B, C)
+            h = jnp.where(feat_mask[:, None, :], jnp.zeros((), h.dtype), h)
 
         # zero padded frames (HF zeroes them before the conv pos-embedding)
         h = h * frame_mask[:, :, None].astype(h.dtype)

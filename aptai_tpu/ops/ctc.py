@@ -145,6 +145,7 @@ def greedy_decode(
     input_lengths: jnp.ndarray,
     blank: int = 0,
     max_output_length: int | None = None,
+    return_truncated: bool = False,
 ):
     """Batched on-device greedy CTC decode (argmax → collapse → de-blank).
 
@@ -160,10 +161,15 @@ def greedy_decode(
       blank: blank id.
       max_output_length: static output width; defaults to ``T``.
 
+      return_truncated: also return the per-item count of tokens dropped by
+        the ``max_output_length`` cap (the reference *asserts* ``len < 60``,
+        models/force_aptai.py:111 — here overflow is observable, not fatal).
+
     Returns:
       ``(tokens, lengths)`` where tokens is ``(B, max_output_length)`` int32
       padded with ``blank`` (= 0, matching the reference's phoneme-sequence
-      padding, models/force_aptai.py:112) and lengths is ``(B,)``.
+      padding, models/force_aptai.py:112) and lengths is ``(B,)``; plus
+      ``truncated`` ``(B,)`` int32 when ``return_truncated``.
     """
     b, t, _ = logits.shape
     out_w = t if max_output_length is None else max_output_length
@@ -179,5 +185,9 @@ def greedy_decode(
     dest = jnp.where(keep & (dest < out_w), dest, out_w)           # drop overflow
     out = jnp.full((b, out_w + 1), blank, jnp.int32)
     out = jax.vmap(lambda o, d, v: o.at[d].set(v, mode="drop"))(out, dest, ids)
-    lengths = jnp.minimum(jnp.sum(keep, axis=1), out_w).astype(jnp.int32)
+    n_kept = jnp.sum(keep, axis=1)
+    lengths = jnp.minimum(n_kept, out_w).astype(jnp.int32)
+    if return_truncated:
+        truncated = jnp.maximum(n_kept - out_w, 0).astype(jnp.int32)
+        return out[:, :out_w], lengths, truncated
     return out[:, :out_w], lengths

