@@ -130,8 +130,14 @@ def _training_rtf(model, cfg, backend) -> float:
         jax.device_put(variables["params"], jax.devices()[0]), optimizer)
     step = make_train_step(loss_fn, optimizer)
     key = jax.random.PRNGKey(1)
-    state, m = step(state, batch_data, key, jnp.float32(1e-5))
-    _ = float(m["loss"])  # compile + warm
+    # TWO warm steps, each fetched: call 1 compiles; call 2 RE-compiles
+    # (the updated state comes back with XLA-chosen layouts that differ
+    # from the freshly device_put input state, changing the jit signature
+    # — measured 127 s at full size, benchmarks/PERF.md round 2); call 3+
+    # reuse the second executable at steady state.
+    for _ in range(2):
+        state, m = step(state, batch_data, key, jnp.float32(1e-5))
+        _ = float(m["loss"])
     t0 = time.perf_counter()
     for _ in range(iters):
         state, m = step(state, batch_data, key, jnp.float32(1e-5))

@@ -68,9 +68,14 @@ def main():
         step = make_train_step(loss_fn, optimizer)
 
         key = jax.random.PRNGKey(1)
-        # chained execution: the state threads the dependency naturally
-        state, m = step(state, batch_data, key, jnp.float32(1e-5))
-        _ = float(m["loss"])  # compile + warm
+        # chained execution: the state threads the dependency naturally.
+        # TWO warm steps: the second call re-traces + recompiles (the
+        # updated state's XLA-chosen layouts differ from the device_put
+        # originals — see benchmarks/PERF.md round 2); steady state begins
+        # at call 3.
+        for _ in range(2):
+            state, m = step(state, batch_data, key, jnp.float32(1e-5))
+            _ = float(m["loss"])  # compile + warm
         n = 5
         t0 = time.perf_counter()
         for _ in range(n):
