@@ -117,7 +117,13 @@ def loso_split(
 
     rest = hprc_df.drop(test_df.index)
     texts = rest.text.unique()
+    # at least one validation text whenever ≥2 texts exist: the reference's
+    # int(0.1·n) (train_aptai.py:214-224) floors to an EMPTY validation set
+    # on small corpora, which silently yields NaN val metrics (every epoch
+    # then "improves" the best-checkpoint watermark) — deliberate deviation
     k = int(len(texts) * valid_text_fraction)
+    if k == 0 and len(texts) > 1:
+        k = 1
     valid_texts = set(rng.choice(texts, size=k, replace=False)) if k else set()
 
     valid_df = rest[rest.text.isin(valid_texts)]

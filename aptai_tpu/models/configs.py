@@ -72,8 +72,9 @@ class Wav2Vec2Config:
     fused_qkv: bool = False  # single QKV GEMM (param tree changes; see
     #                          hf_convert.convert_wav2vec2_encoder(fused_qkv=))
     fused_feature_extractor: bool = False  # Pallas conv+LN+GELU kernel
-    #   (ops/fused_conv.py): correct on TPU but currently ~7% slower than
-    #   XLA's conv lowering — its per-tile DMA is not yet double-buffered.
+    #   (ops/fused_conv.py): correct on TPU, double-buffered (two static
+    #   scratch slots), but still measures ~8% slower end-to-end than XLA's
+    #   conv lowering at these shapes (benchmarks/PERF.md round 2) — off.
 
     def with_ten_ms(self) -> "Wav2Vec2Config":
         """10 ms frame-rate variant: final conv stride 2 → 1

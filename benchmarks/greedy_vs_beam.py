@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import shutil
 import sys
 import time
 from pathlib import Path
@@ -43,6 +44,11 @@ def main():
 
     tiny = tiny_config()
     work = Path(args.work)
+    if work.exists():
+        # stale experiment dirs would flip the trainers into resume mode
+        # (config.finalize: train_from_ckpt = exp_dir.exists()) and taint
+        # the twin-run comparison — always start clean
+        shutil.rmtree(work)
     work.mkdir(parents=True, exist_ok=True)
     cp_csv = make_synthetic_commonphone(work / "cp", 16, 4, 4)
     hprc_csv = make_synthetic_hprc(work / "hprc", utts_per_speaker=args.utts,

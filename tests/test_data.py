@@ -180,6 +180,9 @@ def test_loso_split_contract(tmp_path):
     # rate filter variant
     train_n, valid_n, _, _ = loso_split(df, "M01", "N")
     assert (train_n.rate == "N").all()
+    # small corpora still get a non-empty validation set (int(0.1·n) would
+    # floor to zero texts → NaN val metrics and a dead best-ckpt watermark)
+    assert len(valid) > 0 and len(valid_n) > 0
 
 
 def test_zscore_utterance():
