@@ -35,12 +35,28 @@ def _bucket(n: int, bucket: int = AUDIO_BUCKET) -> int:
     return max(int(math.ceil(n / bucket)) * bucket, bucket)
 
 
+def _batch_bucket(n: int) -> int:
+    """Next power of two ≥ n: keeps the set of compiled batch shapes to
+    log2(max) (a fresh jit compile per distinct batch size is minutes of
+    full-model compilation — the round-2 serving benchmark measured 43 s
+    p50 latency from exactly this) and keeps batches divisible by any
+    power-of-two mesh data axis."""
+    return 1 << max(0, (n - 1)).bit_length()
+
+
 def _prepare(wavs: Sequence[np.ndarray]):
     lengths = np.asarray([len(w) for w in wavs], np.int32)
     width = _bucket(int(lengths.max()))
-    audio = np.zeros((len(wavs), width), np.float32)
+    rows = _batch_bucket(len(wavs))
+    audio = np.zeros((rows, width), np.float32)
     for i, w in enumerate(wavs):
         audio[i, : len(w)] = np.asarray(w, np.float32)
+    # pad rows are full-length silence: numerically safe (a zero-length row
+    # would send 0 through the conv length formula) and discarded by every
+    # caller, which slices by the original item count
+    lengths = np.concatenate(
+        [lengths, np.full(rows - len(wavs), width, np.int32)]
+    )
     return jnp.asarray(audio), jnp.asarray(lengths)
 
 

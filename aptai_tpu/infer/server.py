@@ -27,34 +27,53 @@ class MicroBatcher:
         predict_batch: Callable[[Sequence[np.ndarray]], Dict],
         max_batch_size: int = 32,
         max_wait_ms: float = 10.0,
+        pad_to_max: bool = True,
     ):
         """Args:
           predict_batch: batched model entry point (e.g.
             ``APTAIPredictor.predict_batch``) returning a dict of
             ``(B, ...)`` arrays plus ``frame_lengths``.
+          pad_to_max: pad every drained micro-batch to ``max_batch_size``
+            with silence rows so the device sees ONE static serving shape —
+            a fresh jit compile per distinct batch size costs minutes of
+            full-model compilation in the request path (round-2 lesson:
+            43 s p50 latency).  ``warmup()`` pre-compiles that shape.
         """
         self.predict_batch = predict_batch
         self.max_batch_size = max_batch_size
         self.max_wait_ms = max_wait_ms
+        self.pad_to_max = pad_to_max
         self._queue: "queue.Queue" = queue.Queue()
         self._thread = None
         self._stop = threading.Event()
 
     # -- synchronous core ---------------------------------------------------
 
+    def warmup(self, seconds: float = 2.0, rate: int = 16_000):
+        """Pre-compile the serving shape(s) before taking traffic."""
+        wav = np.zeros(int(seconds * rate), np.float32)
+        self.run_batch([wav] * (self.max_batch_size if self.pad_to_max
+                                else 1))
+        return self
+
     def run_batch(self, wavs: Sequence[np.ndarray]) -> List[Dict]:
         """Run one coalesced batch and split results per item."""
-        out = self.predict_batch(list(wavs))
+        fill = list(wavs)
+        if self.pad_to_max and len(fill) < self.max_batch_size:
+            pad = np.zeros_like(np.asarray(fill[0]))
+            fill.extend([pad] * (self.max_batch_size - len(fill)))
+        out = self.predict_batch(fill)
         frame_lengths = np.asarray(out["frame_lengths"])
+        n_rows = len(frame_lengths)  # ≥ len(wavs): serving-shape pad rows
         results = []
         for b in range(len(wavs)):
             n = int(frame_lengths[b])
             item = {}
             for k, v in out.items():
                 arr = np.asarray(v)
-                if arr.ndim >= 2 and arr.shape[0] == len(wavs):
+                if arr.ndim >= 2 and arr.shape[0] == n_rows:
                     item[k] = arr[b, :n] if arr.shape[1] >= n else arr[b]
-                elif arr.ndim == 1 and arr.shape[0] == len(wavs):
+                elif arr.ndim == 1 and arr.shape[0] == n_rows:
                     item[k] = arr[b]
                 else:
                     item[k] = arr

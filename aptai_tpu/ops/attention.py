@@ -423,13 +423,31 @@ def _mha_bhtd_flash_bwd(res, g):
 _mha_bhtd_flash.defvjp(_mha_bhtd_flash_fwd, _mha_bhtd_flash_bwd)
 
 
+# Below this many bytes of (B, H, T, T) f32 logits, XLA's fused attention
+# beats the flash kernel's grid overheads on this part (same-day A/B,
+# benchmarks/PERF.md round 2: at the blessed training shape B=8, T=256 the
+# XLA fwd+bwd pair runs 10.1 ms vs flash's 21.4 ms per 24 layers, and the
+# rematerialized (T, T) block under jax.checkpoint is only ~33 MB; at the
+# inference shape B=32, T=512 flash wins by 21% and the 537 MB logits
+# tensor must never exist).  Dispatch by problem size, like any production
+# attention library.
+_FLASH_MIN_LOGITS_BYTES = 64 * 2**20
+
+
+def _use_flash(b: int, h: int, t: int, d: int) -> bool:
+    if not _on_tpu() or d > 256:
+        return False
+    return b * h * t * t * 4 > _FLASH_MIN_LOGITS_BYTES
+
+
 def multi_head_attention_bhtd(q, k, v, lengths):
     """Length-masked scaled-dot-product MHA over (B, H, T, D) tensors.
 
-    Flash (Pallas) forward AND backward on TPU; XLA elsewhere.
-    ``lengths`` may be None for dense attention.
+    Flash (Pallas) forward AND backward on TPU for large problems; XLA for
+    small ones (and everywhere off-TPU).  ``lengths`` may be None for
+    dense attention.
     """
-    if _on_tpu() and q.shape[-1] <= 256:
+    if _use_flash(*q.shape):
         return _mha_bhtd_flash(q, k, v, lengths)
     return _xla_attention_bhtd(q, k, v, lengths)
 
@@ -441,7 +459,8 @@ def multi_head_attention(q, k, v, lengths):
     can produce (B, H, T, D) directly should — the relayout here is the
     cost the bhtd path removes.
     """
-    if _on_tpu() and q.shape[-1] <= 256:
+    b, t, h, d = q.shape
+    if _use_flash(b, h, t, d):
         to = lambda x: x.transpose(0, 2, 1, 3)
         return to(_mha_bhtd_flash(to(q), to(k), to(v), lengths))
     return _xla_attention(q, k, v, lengths)
