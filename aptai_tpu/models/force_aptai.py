@@ -48,14 +48,19 @@ def _host_beam_decode(logits, frame_lengths, max_len: int):
     force_aptai.py:97).  Exists so the greedy substitution can be evaluated
     head-to-head (SURVEY.md §7.3 item 1); the device→host→device round trip
     per step is exactly the cost the greedy default removes."""
+    # resolve the decoder OUTSIDE the callback body: `import` inside a
+    # pure_callback runs on an XLA host-callback thread and takes the
+    # Python import lock — with any other thread active (e.g. the
+    # PrefetchLoader producer) this deadlocks the whole process (all
+    # threads futex-wait; reproduced on CPU-JAX, round 2)
     import numpy as np
+
+    from aptai_tpu.decode.beam import beam_search
+    from aptai_tpu.decode.native import beam_search_native
 
     b = logits.shape[0]
 
     def host(lp, fl):
-        from aptai_tpu.decode.beam import beam_search
-        from aptai_tpu.decode.native import beam_search_native
-
         lp, fl = np.asarray(lp), np.asarray(fl)
         out = np.zeros((b, max_len), np.int32)
         lens = np.zeros((b,), np.int32)

@@ -110,8 +110,14 @@ def run_speaker(cfg, hprc_df, vocab, test_spk, model, params, model_cfg,
         hprc_df, test_spk, cfg.train_val_rate, seed=cfg.seed
     )
     eval_bs = cfg.eval_batch_size or cfg.batch_size
-    train_dl = PrefetchLoader(
-        _loader(train_df, vocab, cfg.batch_size, True, cfg.seed))
+    train_dl = _loader(train_df, vocab, cfg.batch_size, True, cfg.seed)
+    if cfg.decode_method != "beam_host":
+        # beam_host embeds a pure_callback in the train step; combined with
+        # the prefetch producer thread this deadlocks the process (all
+        # threads futex-wait — reproduced deterministically on CPU-JAX,
+        # round 2).  The experiment path trades prefetch overlap for
+        # liveness; the greedy default keeps it.
+        train_dl = PrefetchLoader(train_dl)
     valid_dl = _loader(valid_df, vocab, eval_bs, False)
     test_n_dl = _loader(test_n_df, vocab, eval_bs, False)
     test_f_dl = _loader(test_f_df, vocab, eval_bs, False)
