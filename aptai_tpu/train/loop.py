@@ -104,24 +104,44 @@ def fit(
 
             t0 = time.perf_counter()
             step_losses = []  # device scalars — no per-step host sync
-            for batch_idx, batch in enumerate(train_loader):
-                if chosen is not None and batch_idx not in chosen:
-                    continue
-                if cfg.laptop and len(step_losses) >= 1:
-                    break
-                batch.pop("batch_pad_mask", None)
-                sbatch = shard_batch(mesh, batch)
-                state, metrics = step_fn(state, sbatch, rng, jnp.float32(lr))
+
+            def _selected():
+                for bi, b in enumerate(train_loader):
+                    if chosen is not None and bi not in chosen:
+                        continue
+                    b.pop("batch_pad_mask", None)
+                    yield bi, b
+
+            def _run_one(bi, sb):
+                nonlocal state
+                state, metrics = step_fn(state, sb, rng, jnp.float32(lr))
                 if getattr(cfg, "detect_anomaly", False):
                     # opt-in per-step sync (forces execution + fetch)
                     loss_val = float(metrics["loss"])
                     if not np.isfinite(loss_val):
                         raise FloatingPointError(
                             f"non-finite loss {loss_val} at epoch {epoch} "
-                            f"batch {batch_idx}: "
+                            f"batch {bi}: "
                             + str({k: float(v) for k, v in metrics.items()})
                         )
                 step_losses.append(metrics["loss"])
+
+            # one-batch lookahead: batch i+1's host→device staging
+            # (shard_batch) is issued BEFORE step i is dispatched, so the
+            # transfer overlaps the device step instead of serializing
+            # with it
+            staged = None  # (batch_idx, sharded batch)
+            stop = False
+            for bi, b in _selected():
+                sb = shard_batch(mesh, b)
+                if staged is not None:
+                    _run_one(*staged)
+                    if cfg.laptop and len(step_losses) >= 1:
+                        stop = True
+                        break
+                staged = (bi, sb)
+            if staged is not None and not stop:
+                _run_one(*staged)
             # ONE fetch: triggers the chained execution of the whole epoch
             losses = (np.asarray(jnp.stack(step_losses))
                       if step_losses else np.zeros((0,), np.float32))
