@@ -65,6 +65,14 @@ class Wav2Vec2Config:
     # numerics
     layer_norm_eps: float = 1e-5
     dtype: str = "float32"  # compute dtype: "float32" | "bfloat16"
+    # training-time gradient checkpointing granularity (models/wav2vec2.py):
+    # "none" (no remat — fastest; the blessed training shapes fit HBM with
+    # room to spare: 74.6 vs 80.1 ms/step, benchmarks/PERF.md round 2),
+    # "full" (per-layer remat, minimum memory — the reference's always-on
+    # gradient checkpointing, w2v2_pr.py:33; use for big-batch/long-bucket
+    # runs), "dots" (save MXU outputs only; measured slower than both at
+    # the blessed shape).  Inference is unaffected.
+    remat_policy: str = "none"
     # attention activation layout: "bhtd" projects straight into the flash
     # kernel's (B, H, T, D) layout (einsum projections, identical params) —
     # no per-layer relayout; "bthd" is the classic (B, T, H, D) path.

@@ -506,12 +506,22 @@ class Wav2Vec2Encoder(nn.Module):
 
         # gradient checkpointing over each layer in training, like the
         # reference's gradient_checkpointing_enable() (w2v2_pr.py:33);
-        # deterministic (arg 3, counting self) is a static python bool
-        layer = (
-            nn.remat(EncoderLayer, static_argnums=(3,))
-            if not deterministic
-            else EncoderLayer
-        )
+        # deterministic (arg 3, counting self) is a static python bool.
+        # cfg.remat_policy picks how much the backward recomputes:
+        #   "full" — classic per-layer remat (save only layer inputs);
+        #   "dots" — save every MXU (dot) output, recompute only cheap
+        #            elementwise ops (jax dots_saveable policy);
+        #   "none" — no remat, save all activations (fastest when HBM
+        #            allows; the blessed training shapes fit easily).
+        if deterministic or cfg.remat_policy == "none":
+            layer = EncoderLayer
+        elif cfg.remat_policy == "dots":
+            layer = nn.remat(
+                EncoderLayer, static_argnums=(3,),
+                policy=jax.checkpoint_policies.dots_saveable,
+            )
+        else:
+            layer = nn.remat(EncoderLayer, static_argnums=(3,))
         all_hidden = [h] if output_hidden_states else None
         for i in range(cfg.num_hidden_layers):
             h = layer(cfg, name=f"layers_{i}")(h, frame_lengths, deterministic)

@@ -31,6 +31,7 @@ def make_backbone_config(cfg_train, vocab_size: int) -> Wav2Vec2Config:
         final_dropout=cfg_train.final_dropout,
         num_hidden_layers=cfg_train.num_hidden_layers,
         dtype=getattr(cfg_train, "dtype", "float32"),
+        remat_policy=getattr(cfg_train, "remat_policy", "none"),
     )
     if getattr(cfg_train, "ten_ms", False):
         cfg = cfg.with_ten_ms()

@@ -48,6 +48,7 @@ class TrainConfig:
     num_hidden_layers: int = 24
     final_dropout: float = 0.0
     ten_ms: bool = False
+    remat_policy: str = "none"    # "none" | "full" | "dots" (configs.py)
     huggingface_model_id: str = "facebook/wav2vec2-large-xlsr-53"
     pretrained_checkpoint: Optional[str] = None  # torch .bin to convert
     freeze_feature_extractor: bool = False

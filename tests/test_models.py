@@ -231,3 +231,39 @@ def test_w2v2_pr_encode_layers_hidden_state_indexing(audio_batch):
         np.asarray(out["last_transf_hidden"]), rtol=1e-5, atol=1e-6,
     )
     assert out["phoneme_logits_inter"].shape == out["phoneme_logits_last"].shape
+
+
+def test_remat_policy_gradients_match(audio_batch):
+    """remat_policy changes only what the backward recomputes — gradients
+    must be identical across "full" / "dots" / "none"."""
+    import dataclasses
+
+    audio, lengths = audio_batch
+    t = 200
+    phn = jnp.ones((2, t), jnp.int32)
+    tvs = jnp.zeros((2, t, 9), jnp.float32)
+
+    grads = {}
+    for policy in ("full", "dots", "none"):
+        cfg = dataclasses.replace(
+            tiny_config(), remat_policy=policy,
+            hidden_dropout=0.0, activation_dropout=0.0,
+            attention_dropout=0.0, feat_proj_dropout=0.0,
+            apply_spec_augment=False,
+        )
+        model = APTAI(cfg, num_phonemes=11)
+        variables = model.init(jax.random.PRNGKey(0), audio, lengths,
+                               phn, tvs)
+
+        def loss(p):
+            out = model.apply({"params": p}, audio, lengths, phn, tvs)
+            return out["loss"]
+
+        grads[policy] = jax.grad(loss)(variables["params"])
+
+    flat_full, _ = jax.tree_util.tree_flatten(grads["full"])
+    for other in ("dots", "none"):
+        flat, _ = jax.tree_util.tree_flatten(grads[other])
+        for a, b in zip(flat_full, flat):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
