@@ -85,19 +85,42 @@ class APTAIPredictor:
 
             params = shard_tree(mesh, params)
         self.params = params
-        self._fwd = jax.jit(
-            lambda p, a, l: model.apply({"params": p}, a, l, method="predict")
-        )
+        self._fwd_cache: Dict = {}
 
-    def predict_batch(self, wavs: Sequence[np.ndarray]) -> Dict:
+    def _fwd_for(self, fields):
+        """Jitted forward returning only ``fields`` (+frame_lengths).
+
+        Restricting the output set lets XLA dead-code-eliminate unused
+        heads (e.g. the (B, T, V) softmax when only TVs are served) and —
+        on the axon tunnel, where every fetched byte rides a ~30 ms-RTT
+        link — shrinks the per-request marshaling to what the caller
+        actually consumes."""
+        if fields not in self._fwd_cache:
+            model = self.model
+
+            def fwd(p, a, l):
+                out = model.apply({"params": p}, a, l, method="predict")
+                if fields is None:
+                    return out
+                keep = set(fields) | {"frame_lengths"}
+                return {k: v for k, v in out.items() if k in keep}
+
+            self._fwd_cache[fields] = jax.jit(fwd)
+        return self._fwd_cache[fields]
+
+    def predict_batch(self, wavs: Sequence[np.ndarray],
+                      fields: Optional[Sequence[str]] = None) -> Dict:
+        """Batched forward; ``fields`` (e.g. ``("tvs_pred",
+        "phn_fc_pred")``) restricts the outputs computed and fetched."""
+        fwd = self._fwd_for(None if fields is None else tuple(fields))
         audio, lengths = _prepare(wavs)
         if self.mesh is not None:
             from aptai_tpu.parallel import shard_batch
 
             audio, lengths = shard_batch(self.mesh, (audio, lengths))
             with self.mesh:
-                return self._fwd(self.params, audio, lengths)
-        return self._fwd(self.params, audio, lengths)
+                return fwd(self.params, audio, lengths)
+        return fwd(self.params, audio, lengths)
 
     def get_aptai_output(self, wav) -> Dict:
         """Single-utterance dict, schema of reference models/aptai.py:174-179

@@ -66,9 +66,16 @@ class StreamingPredictor:
             frame_hop *= s
         # hop must be a frame-hop multiple for exact frame tiling
         self.hop = ((self.chunk - self.overlap) // frame_hop) * frame_hop
-        self._fwd = jax.jit(
-            lambda p, a, l: model.apply({"params": p}, a, l, method="predict")
-        )
+        keep = set(self.frame_keys) | {"frame_lengths"}
+
+        def fwd(p, a, l):
+            # only the stitched keys leave the device: XLA dead-code
+            # -eliminates the unused heads and the tunnel marshals only
+            # what the stitcher consumes
+            out = model.apply({"params": p}, a, l, method="predict")
+            return {k: v for k, v in out.items() if k in keep}
+
+        self._fwd = jax.jit(fwd)
 
     def _run_chunks(self, padded: np.ndarray, lens: np.ndarray):
         """Forward a (N, chunk) stack, data-sharded when a mesh is set."""

@@ -37,7 +37,10 @@ def main():
     bcfg = Wav2Vec2Config(dtype="bfloat16" if backend == "tpu" else "float32")
     model = APTAI(bcfg, num_phonemes=46)
     if backend == "tpu":
-        batch, seconds, steps, epochs = 8, 5, 6, 2
+        # enough steps that per-epoch fixed costs (batch marshaling over
+        # the ~30 ms-RTT tunnel, end-of-epoch fetch) don't swamp the
+        # steady-state step time
+        batch, seconds, steps, epochs = 8, 5, 24, 2
     else:
         batch, seconds, steps, epochs = 2, 1, 2, 1
 

@@ -53,7 +53,14 @@ def main():
     pred = APTAIPredictor(model, params)
 
     # ---- micro-batched serving --------------------------------------------
-    mb = MicroBatcher(pred.predict_batch, max_batch_size=16, max_wait_ms=5.0)
+    # field-selective serving: only TVs + frame phonemes leave the chip
+    # (XLA drops the unused probs/logits heads; the tunnel marshals ~25×
+    # less per request than the full predict dict)
+    import functools
+
+    serve_fn = functools.partial(
+        pred.predict_batch, fields=("tvs_pred", "phn_fc_pred"))
+    mb = MicroBatcher(serve_fn, max_batch_size=16, max_wait_ms=5.0)
     mb.warmup(seconds=req_seconds)  # compile the one static serving shape
 
     wavs = [rng.standard_normal(16000 * req_seconds).astype(np.float32) * 0.1
