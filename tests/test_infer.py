@@ -273,3 +273,38 @@ def test_streaming_force_on_mesh(models):
     np.testing.assert_allclose(np.asarray(out_s["tvs_pred"]["LA"]),
                                np.asarray(out_p["tvs_pred"]["LA"]),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_micro_batcher_pad_to_max_matches_unpadded(models):
+    """Serving-shape padding (pad_to_max) must not change any request's
+    result, and fields= must select exactly the served outputs."""
+    from aptai_tpu.infer import MicroBatcher
+
+    (aptai, ap), _, _ = models
+    pred = APTAIPredictor(aptai, ap)
+    rng = np.random.default_rng(5)
+    wavs = [rng.standard_normal(3200 + 1600 * i).astype(np.float32)
+            for i in range(3)]
+
+    padded = MicroBatcher(pred.predict_batch, max_batch_size=8,
+                          pad_to_max=True).run_batch(wavs)
+    plain = MicroBatcher(pred.predict_batch, max_batch_size=8,
+                         pad_to_max=False).run_batch(wavs)
+    assert len(padded) == len(plain) == 3
+    for a, b in zip(padded, plain):
+        np.testing.assert_allclose(a["tvs_pred"], b["tvs_pred"],
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_array_equal(a["phn_fc_pred"], b["phn_fc_pred"])
+
+    # field-selective serving: only the requested heads leave the model
+    import functools
+
+    slim = MicroBatcher(
+        functools.partial(pred.predict_batch,
+                          fields=("tvs_pred", "phn_fc_pred")),
+        max_batch_size=8,
+    ).run_batch(wavs)
+    for a, b in zip(slim, padded):
+        np.testing.assert_allclose(a["tvs_pred"], b["tvs_pred"],
+                                   rtol=1e-4, atol=1e-5)
+        assert "phn_fc_probs" not in a and "phn_fc_logits" not in a
