@@ -85,34 +85,17 @@ class APTAIPredictor:
 
             params = shard_tree(mesh, params)
         self.params = params
-        self._fwd_cache: Dict = {}
-
-    def _fwd_for(self, fields):
-        """Jitted forward returning only ``fields`` (+frame_lengths).
-
-        Restricting the output set lets XLA dead-code-eliminate unused
-        heads (e.g. the (B, T, V) softmax when only TVs are served) and —
-        on the axon tunnel, where every fetched byte rides a ~30 ms-RTT
-        link — shrinks the per-request marshaling to what the caller
-        actually consumes."""
-        if fields not in self._fwd_cache:
-            model = self.model
-
-            def fwd(p, a, l):
-                out = model.apply({"params": p}, a, l, method="predict")
-                if fields is None:
-                    return out
-                keep = set(fields) | {"frame_lengths"}
-                return {k: v for k, v in out.items() if k in keep}
-
-            self._fwd_cache[fields] = jax.jit(fwd)
-        return self._fwd_cache[fields]
+        self._fwd_for = _selective_jit(model, "predict")
 
     def predict_batch(self, wavs: Sequence[np.ndarray],
                       fields: Optional[Sequence[str]] = None) -> Dict:
         """Batched forward; ``fields`` (e.g. ``("tvs_pred",
-        "phn_fc_pred")``) restricts the outputs computed and fetched."""
-        fwd = self._fwd_for(None if fields is None else tuple(fields))
+        "phn_fc_pred")``) restricts the outputs computed and fetched:
+        XLA dead-code-eliminates unserved heads (e.g. the (B, T, V)
+        softmax when only TVs are served) and — on the axon tunnel, where
+        every fetched byte rides a ~30 ms-RTT link — the per-request
+        marshaling shrinks to what the caller actually consumes."""
+        fwd = self._fwd_for(fields)
         audio, lengths = _prepare(wavs)
         if self.mesh is not None:
             from aptai_tpu.parallel import shard_batch
@@ -139,21 +122,41 @@ class APTAIPredictor:
         }
 
 
+def _selective_jit(model, method: str):
+    """Per-``fields`` cache of jitted forwards returning only those outputs
+    (+frame_lengths) — see :meth:`APTAIPredictor._fwd_for`."""
+    cache: Dict = {}
+
+    def get(fields):
+        key = None if fields is None else tuple(fields)
+        if key not in cache:
+            def fwd(p, a, l):
+                out = model.apply({"params": p}, a, l, method=method)
+                if key is None:
+                    return out
+                keep = set(key) | {"frame_lengths"}
+                return {k: v for k, v in out.items() if k in keep}
+
+            cache[key] = jax.jit(fwd)
+        return cache[key]
+
+    return get
+
+
 class ForceAPTAIPredictor:
     def __init__(self, model, params):
         self.model = model
         self.params = params
-        self._fwd = jax.jit(
-            lambda p, a, l: model.apply({"params": p}, a, l, method="predict")
-        )
+        self._fwd_for = _selective_jit(model, "predict")
         self._align = jax.jit(
             lambda p, a, l: model.apply({"params": p}, a, l,
                                         method="get_alignment")
         )
 
-    def predict_batch(self, wavs: Sequence[np.ndarray]) -> Dict:
+    def predict_batch(self, wavs: Sequence[np.ndarray],
+                      fields: Optional[Sequence[str]] = None) -> Dict:
         audio, lengths = _prepare(wavs)
-        return self._fwd(self.params, audio, lengths)
+        return self._fwd_for(fields)(self.params, audio, lengths)
 
     def get_faptai_output(self, wav) -> Dict:
         """Schema of reference models/force_aptai.py:316-322."""
@@ -185,13 +188,12 @@ class W2V2PRPredictor:
         self.model = model
         self.params = params
         self.vocab = vocab
-        self._encode = jax.jit(
-            lambda p, a, l: model.apply({"params": p}, a, l, method="encode")
-        )
+        self._encode_for = _selective_jit(model, "encode")
 
-    def encode_batch(self, wavs: Sequence[np.ndarray]) -> Dict:
+    def encode_batch(self, wavs: Sequence[np.ndarray],
+                     fields: Optional[Sequence[str]] = None) -> Dict:
         audio, lengths = _prepare(wavs)
-        return self._encode(self.params, audio, lengths)
+        return self._encode_for(fields)(self.params, audio, lengths)
 
     def get_embeddings(self, wavs: Sequence[np.ndarray]) -> Dict:
         """Reference models/w2v2_pr.py:124-167 contract: conv features,
