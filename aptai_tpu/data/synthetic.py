@@ -89,6 +89,35 @@ def _smooth_tv(rng, n: int) -> np.ndarray:
     return sig + rng.normal() * 2
 
 
+# fixed per-(phoneme, TV) articulatory targets, so the synthetic TVs are a
+# deterministic function of the audible phoneme sequence — an APTAI/FORCE
+# model can actually LEARN them from the waveform (random trajectories
+# would make TV losses pure noise-floor fitting)
+_PHONE_TV_TARGETS = {
+    p: np.cos(0.7 * i + 1.3 * np.arange(len(TV_ORDER)))
+    for i, p in enumerate(_PHONES)
+}
+
+
+def _phone_driven_tvs(rng, phones, bounds, n: int, total_s: float):
+    """Piecewise-constant per-phoneme TV targets, smoothed (~8 Hz moving
+    average) + small noise — mimics articulator dynamics tied to content."""
+    t_axis = np.linspace(0.0, total_s, n, endpoint=False)
+    targets = np.zeros((n, len(TV_ORDER)))
+    for p, (t0, t1) in zip(phones, bounds):
+        sel = (t_axis >= t0) & (t_axis < t1)
+        targets[sel] = _PHONE_TV_TARGETS[p]
+    # moving-average smoothing over ~120 ms for articulator-like inertia
+    win = max(int(0.12 * n / max(total_s, 1e-6)), 1)
+    kernel = np.ones(win) / win
+    smooth = np.stack(
+        [np.convolve(targets[:, j], kernel, mode="same")
+         for j in range(len(TV_ORDER))], axis=1)
+    smooth += 0.05 * rng.standard_normal(smooth.shape)
+    return {k: smooth[:, j].astype(np.float64)
+            for j, k in enumerate(TV_ORDER)}
+
+
 def make_synthetic_hprc(root, utts_per_speaker=2, speakers=None, seed=0,
                         cfg=None) -> Path:
     """HPRC-format prep tree + manifest: wavs, 4 TV pickle variants, mspec /
@@ -117,7 +146,13 @@ def make_synthetic_hprc(root, utts_per_speaker=2, speakers=None, seed=0,
                 save_wav(wav_path, audio, SAMPLE_RATE)
 
                 n_ema = int(len(audio) / SAMPLE_RATE * 100)  # 100 Hz EMA
-                tvs = {k: _smooth_tv(rng, max(n_ema, 8)) for k in TV_ORDER}
+                total_s = len(audio) / SAMPLE_RATE
+                scale = 0.5 if rate == "F" else 1.0  # F boundaries halve
+                tvs = _phone_driven_tvs(
+                    rng, phones,
+                    [(b[0] * scale, b[1] * scale) for b in bounds],
+                    max(n_ema, 8), total_s,
+                )
                 tvs_norm = zscore_utterance(tvs)
                 tvs_49 = interpolate_tvs_to_frames(tvs, len(audio), cfg)
                 tvs_norm_49 = interpolate_tvs_to_frames(tvs_norm, len(audio),
