@@ -28,6 +28,12 @@ sys.path.insert(0, ".")
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=6)
+    ap.add_argument("--pr_epochs", type=int, default=24,
+                    help="PR pretrain epochs: the reference pipeline runs "
+                    "FORCE on a CONVERGED recognizer (stage 1); an "
+                    "undertrained PR makes the in-step decode choice "
+                    "matter (beam rescues weak logits) and is not the "
+                    "regime the substitution targets")
     ap.add_argument("--utts", type=int, default=6,
                     help="synthetic utterances per speaker")
     ap.add_argument("--work", default="/tmp/greedy_vs_beam")
@@ -50,7 +56,7 @@ def main():
         # the twin-run comparison — always start clean
         shutil.rmtree(work)
     work.mkdir(parents=True, exist_ok=True)
-    cp_csv = make_synthetic_commonphone(work / "cp", 16, 4, 4)
+    cp_csv = make_synthetic_commonphone(work / "cp", 48, 6, 6)
     hprc_csv = make_synthetic_hprc(work / "hprc", utts_per_speaker=args.utts,
                                    cfg=tiny)
 
@@ -58,7 +64,8 @@ def main():
     # sequences (mirrors the reference pipeline stage 1, SURVEY.md §1)
     pr_cfg = PRConfig(
         exp_dir=str(work / "pr"), cp_csv_path=str(cp_csv), hprc_csv_path="",
-        num_epochs=4, num_warmup_epochs=1, num_static_epochs=2,
+        num_epochs=args.pr_epochs, num_warmup_epochs=2,
+        num_static_epochs=max(args.pr_epochs - 6, 2),
         batch_size=4, samples_per_epoch=64, learning_rate=3e-4,
         mesh_data=1,
     ).finalize("phoneme_recognizer")
