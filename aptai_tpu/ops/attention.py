@@ -32,8 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
-_Q_BLOCK = 128
-_K_BLOCK = 128
+_MIN_BLOCK = 128  # padding quantum (MXU tile alignment)
 LSE_LANES = 8  # trailing broadcast lanes for per-row stats (tiling rule)
 
 
@@ -63,7 +62,7 @@ def _xla_attention_bhtd(q, k, v, lengths):
 # ---------------------------------------------------------------------------
 
 def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale,
-                  t_padded, group, save_lse):
+                  t_padded, k_block, group, save_lse):
     """One (batch·head-group, q-block) tile of flash attention.
 
     A *group* of ``group`` batch·head slices is processed per grid cell via
@@ -79,7 +78,7 @@ def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale,
 
     q = q_ref[:].astype(jnp.float32) * scale         # (G, BQ, D)
     g_dim, bq, d = q.shape
-    num_k_blocks = t_padded // _K_BLOCK
+    num_k_blocks = t_padded // k_block
 
     # ``group`` divides the head count, so every slice in this cell belongs
     # to the same batch item ⇒ one scalar key length for the whole tile.
@@ -91,14 +90,14 @@ def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale,
 
     def body(i, carry):
         m, l, acc = carry
-        kb = k_ref[:, pl.ds(i * _K_BLOCK, _K_BLOCK), :].astype(jnp.float32)
-        vb = v_ref[:, pl.ds(i * _K_BLOCK, _K_BLOCK), :].astype(jnp.float32)
+        kb = k_ref[:, pl.ds(i * k_block, k_block), :].astype(jnp.float32)
+        vb = v_ref[:, pl.ds(i * k_block, k_block), :].astype(jnp.float32)
         s = jax.lax.dot_general(
             q, kb, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # (G, BQ, BK)
-        col = i * _K_BLOCK + jax.lax.broadcasted_iota(
-            jnp.int32, (g_dim, bq, _K_BLOCK), 2
+        col = i * k_block + jax.lax.broadcasted_iota(
+            jnp.int32, (g_dim, bq, k_block), 2
         )
         s = jnp.where(col < length, s, NEG_INF)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
@@ -121,8 +120,8 @@ def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale,
         lse_ref[:] = jnp.broadcast_to(lse, lse.shape[:2] + (LSE_LANES,))
 
 
-def _fwd_call(qf, kf, vf, lens_bh, *, scale, t_padded, q_block, group,
-              save_lse):
+def _fwd_call(qf, kf, vf, lens_bh, *, scale, t_padded, q_block, k_block,
+              group, save_lse):
     """pallas_call wrapper over the (B·H, Tp, D) layout."""
     bh, _, d = qf.shape
     in_specs = [
@@ -152,7 +151,7 @@ def _fwd_call(qf, kf, vf, lens_bh, *, scale, t_padded, q_block, group,
     )
     out, lse = pl.pallas_call(
         functools.partial(_flash_kernel, scale=scale, t_padded=t_padded,
-                          group=group, save_lse=save_lse),
+                          k_block=k_block, group=group, save_lse=save_lse),
         grid_spec=grid_spec,
         out_shape=out_shape,
     )(lens_bh, qf, kf, vf)
@@ -164,7 +163,8 @@ def _fwd_call(qf, kf, vf, lens_bh, *, scale, t_padded, q_block, group,
 # ---------------------------------------------------------------------------
 
 def _flash_bwd_dq_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
-                         delta_ref, dq_ref, *, scale, t_padded, group):
+                         delta_ref, dq_ref, *, scale, t_padded, k_block,
+                         group):
     """dq for one (group, q-block) tile: loop over key blocks.
 
     ds = p ⊙ (dO·Vᵀ − Δ);  dq = ds·K · scale  with p = exp(s − lse).
@@ -178,17 +178,17 @@ def _flash_bwd_dq_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     lse = jnp.max(lse_ref[:], axis=-1, keepdims=True)
     delta = jnp.max(delta_ref[:], axis=-1, keepdims=True)
     g_dim, bq, d = q.shape
-    num_k_blocks = t_padded // _K_BLOCK
+    num_k_blocks = t_padded // k_block
 
     def body(i, dq):
-        kb = k_ref[:, pl.ds(i * _K_BLOCK, _K_BLOCK), :].astype(jnp.float32)
-        vb = v_ref[:, pl.ds(i * _K_BLOCK, _K_BLOCK), :].astype(jnp.float32)
+        kb = k_ref[:, pl.ds(i * k_block, k_block), :].astype(jnp.float32)
+        vb = v_ref[:, pl.ds(i * k_block, k_block), :].astype(jnp.float32)
         s = jax.lax.dot_general(
             q, kb, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ) * scale                                     # (G, BQ, BK)
-        col = i * _K_BLOCK + jax.lax.broadcasted_iota(
-            jnp.int32, (g_dim, bq, _K_BLOCK), 2
+        col = i * k_block + jax.lax.broadcasted_iota(
+            jnp.int32, (g_dim, bq, k_block), 2
         )
         p = jnp.where(col < length, jnp.exp(s - lse), 0.0)
         dp = jax.lax.dot_general(
@@ -209,7 +209,7 @@ def _flash_bwd_dq_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
 
 def _flash_bwd_dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
                           delta_ref, dk_ref, dv_ref, *, scale, t_padded,
-                          group):
+                          q_step, group):
     """dk/dv for one (group, key-block) tile: loop over query blocks.
 
     dv = pᵀ·dO;  dk = dsᵀ·Q · scale.
@@ -223,15 +223,15 @@ def _flash_bwd_dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     j = pl.program_id(1)
     col = j * bk + jax.lax.broadcasted_iota(jnp.int32, (g_dim, 1, bk), 2)
     col_valid = col < length                          # (G, 1, BK)
-    num_q_blocks = t_padded // _K_BLOCK
+    num_q_blocks = t_padded // q_step
 
     def body(i, carry):
         dk, dv = carry
-        qb = q_ref[:, pl.ds(i * _K_BLOCK, _K_BLOCK), :].astype(jnp.float32)
-        dob = do_ref[:, pl.ds(i * _K_BLOCK, _K_BLOCK), :].astype(jnp.float32)
-        lse = jnp.max(lse_ref[:, pl.ds(i * _K_BLOCK, _K_BLOCK), :],
+        qb = q_ref[:, pl.ds(i * q_step, q_step), :].astype(jnp.float32)
+        dob = do_ref[:, pl.ds(i * q_step, q_step), :].astype(jnp.float32)
+        lse = jnp.max(lse_ref[:, pl.ds(i * q_step, q_step), :],
                       axis=-1, keepdims=True)
-        delta = jnp.max(delta_ref[:, pl.ds(i * _K_BLOCK, _K_BLOCK), :],
+        delta = jnp.max(delta_ref[:, pl.ds(i * q_step, q_step), :],
                         axis=-1, keepdims=True)
         s = jax.lax.dot_general(
             qb, kb, (((2,), (2,)), ((0,), (0,))),
@@ -262,7 +262,7 @@ def _flash_bwd_dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
 
 
 def _bwd_call(qf, kf, vf, dof, lse, delta, lens_bh, *, scale, t_padded,
-              q_block, group):
+              q_block, k_block, group):
     bh, _, d = qf.shape
     full = lambda: pl.BlockSpec((group, t_padded, d),
                                 lambda i, j, lens: (i, 0, 0),
@@ -279,7 +279,7 @@ def _bwd_call(qf, kf, vf, dof, lse, delta, lens_bh, *, scale, t_padded,
 
     dq = pl.pallas_call(
         functools.partial(_flash_bwd_dq_kernel, scale=scale,
-                          t_padded=t_padded, group=group),
+                          t_padded=t_padded, k_block=k_block, group=group),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(bh // group, t_padded // q_block),
@@ -290,15 +290,15 @@ def _bwd_call(qf, kf, vf, dof, lse, delta, lens_bh, *, scale, t_padded,
         out_shape=jax.ShapeDtypeStruct((bh, t_padded, d), qf.dtype),
     )(lens_bh, qf, kf, vf, dof, lse, delta)
 
-    kblk = lambda: pl.BlockSpec((group, _K_BLOCK, d),
+    kblk = lambda: pl.BlockSpec((group, k_block, d),
                                 lambda i, j, lens: (i, j, 0),
                                 memory_space=pltpu.VMEM)
     dk, dv = pl.pallas_call(
         functools.partial(_flash_bwd_dkv_kernel, scale=scale,
-                          t_padded=t_padded, group=group),
+                          t_padded=t_padded, q_step=q_block, group=group),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(bh // group, t_padded // _K_BLOCK),
+            grid=(bh // group, t_padded // k_block),
             in_specs=[full(), kblk(), kblk(), full(), row_full(),
                       row_full()],
             out_specs=[kblk(), kblk()],
@@ -318,21 +318,34 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _tiles(b: int, t: int, h: int):
-    """(t_padded, q_block, group) for a (B, H, T, D) problem."""
-    t_padded = _round_up(t, _K_BLOCK)
+    """(t_padded, q_block, k_block, group) for a (B, H, T, D) problem."""
+    t_padded = _round_up(t, _MIN_BLOCK)
     # larger query tiles amortize per-grid-cell overhead at speech-encoder
     # sequence lengths (single q tile when T ≤ 512)
     q_block = min(t_padded, 512)
     t_padded = _round_up(t_padded, q_block)
+    # the largest key block ≤512 dividing t_padded: fewer online-softmax
+    # rescale passes on the VPU — k_block 128 → 512 measured 1772 → 1980
+    # audio-s/s end-to-end at the inference shape (single-block = exact
+    # softmax in VMEM, no rescale at all); benchmarks/PERF.md round 2
+    k_block = min(t_padded, 512)
     # group must divide h so a grid cell never mixes batch items (single
     # scalar length per tile); group=4 at (512-query, 64-dim) tiles keeps
     # the kernel inside the 16 MB VMEM budget incl. double buffering
+    # (group=8 exceeds it — measured scoped-vmem OOM)
+    group_pref = (4, 2)
+    if t_padded > 512:
+        # long sequences (streaming chunks): full-length K/V stay resident
+        # per cell, so shrink the per-cell footprint — (q 256 × k 512,
+        # group 2) fits where (512 × 512, group 4) measured 18.2 MB > 16 MB
+        q_block = 256
+        group_pref = (2,)
     group = 1
-    for cand in (4, 2):
+    for cand in group_pref:
         if h % cand == 0:
             group = cand
             break
-    return t_padded, q_block, group
+    return t_padded, q_block, k_block, group
 
 
 def _to_flat(x, t_padded):  # (B, H, T, D) -> (B*H, Tp, D), contiguous
@@ -357,12 +370,12 @@ def _flash_fwd_bhtd(q, k, v, lengths, save_lse: bool):
     scale = 1.0 / (d ** 0.5)
     if lengths is None:
         lengths = jnp.full((b,), t, jnp.int32)
-    t_padded, q_block, group = _tiles(b, t, h)
+    t_padded, q_block, k_block, group = _tiles(b, t, h)
     qf, kf, vf = (_to_flat(x, t_padded) for x in (q, k, v))
     lens_bh = jnp.repeat(lengths.astype(jnp.int32), h)  # (B*H,)
     out, lse = _fwd_call(qf, kf, vf, lens_bh, scale=scale,
-                         t_padded=t_padded, q_block=q_block, group=group,
-                         save_lse=save_lse)
+                         t_padded=t_padded, q_block=q_block,
+                         k_block=k_block, group=group, save_lse=save_lse)
     return out.reshape(b, h, t_padded, d)[:, :, :t], lse
 
 
@@ -403,7 +416,7 @@ def _mha_bhtd_flash_bwd(res, g):
     scale = 1.0 / (d ** 0.5)
     if lengths is None:
         lengths = jnp.full((b,), t, jnp.int32)
-    t_padded, q_block, group = _tiles(b, t, h)
+    t_padded, q_block, k_block, group = _tiles(b, t, h)
     qf, kf, vf = (_to_flat(x, t_padded) for x in (q, k, v))
     dof = _to_flat(g, t_padded)
     of = _to_flat(out, t_padded)
@@ -415,7 +428,7 @@ def _mha_bhtd_flash_bwd(res, g):
     delta = jnp.broadcast_to(delta, delta.shape[:2] + (LSE_LANES,))
     dq, dk, dv = _bwd_call(qf, kf, vf, dof, lse, delta, lens_bh,
                            scale=scale, t_padded=t_padded, q_block=q_block,
-                           group=group)
+                           k_block=k_block, group=group)
     unflat = lambda x: x.reshape(b, h, t_padded, d)[:, :, :t]
     return unflat(dq), unflat(dk), unflat(dv), None
 

@@ -170,3 +170,23 @@ def test_encoder_bhtd_layout_matches_bthd(rng):
         np.testing.assert_allclose(
             np.asarray(out_h)[b, : fl[b]], np.asarray(out_b)[b, : fl[b]],
             rtol=1e-4, atol=1e-5)
+
+
+def test_flash_bhtd_long_sequence_multi_block(rng, monkeypatch):
+    """T > 512 exercises the multi-K-block online-softmax path AND a
+    multi-q-tile grid (T=600 → t_padded 1024, q_block 512, k_block 512)."""
+    _interpret_pallas(monkeypatch)
+    from aptai_tpu.ops.attention import _tiles, flash_attention_bhtd
+
+    assert _tiles(1, 600, 2) == (1024, 256, 512, 2)
+    B, H, T, D = 1, 2, 600, 64
+    q = jnp.asarray(rng.standard_normal((B, H, T, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, H, T, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, H, T, D)).astype(np.float32))
+    lengths = jnp.asarray(np.array([530], np.int32))
+    got = np.asarray(flash_attention_bhtd(q, k, v, lengths))
+    want = np.asarray(_xla_attention(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3), lengths)).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(got[0, :, :530], want[0, :, :530],
+                               rtol=1e-3, atol=1e-4)
