@@ -185,3 +185,50 @@ def test_aptai_train_step_on_mesh():
                               jnp.float32(1e-4))
     assert np.isfinite(float(metrics["loss"]))
     assert np.isfinite(float(metrics["mse_loss"]))
+
+
+def test_force_train_step_on_mesh():
+    """FORCE under a DP×TP mesh: the frozen tower's params shard by the
+    Megatron path rules while the head modules (cross-attention, BiLSTM,
+    phoneme encoder) fall through to replication, and the masked optimizer
+    (no moments for w2v2_pr) composes with the shardings."""
+    from aptai_tpu.models import ForceAPTAI
+
+    mesh = make_mesh(data=4, model=2)
+    cfg = tiny_config()
+    model = ForceAPTAI(pr_cfg=cfg, vocab_size=11)
+    rng = np.random.default_rng(4)
+    batch = {
+        "audio": jnp.asarray(rng.standard_normal((8, 3200)).astype(np.float32)),
+        "audio_lengths": jnp.asarray(np.full(8, 3200, np.int32)),
+        "tv_targets": jnp.asarray(
+            rng.standard_normal((8, 200, 9)).astype(np.float32)),
+    }
+    variables = model.init(
+        jax.random.PRNGKey(0), batch["audio"], batch["audio_lengths"],
+        batch["tv_targets"],
+    )
+
+    def loss_fn(params, b, rngs):
+        out = model.apply(
+            {"params": params}, b["audio"], b["audio_lengths"],
+            b["tv_targets"], deterministic=False, rngs=rngs,
+        )
+        return out["loss"], {"tv_loss": out["tv_loss"],
+                             "align_loss": out["align_loss"]}
+
+    optimizer = torch_adam(frozen_prefixes=("w2v2_pr",))
+    state = create_train_state(variables["params"], optimizer)
+    before = np.asarray(
+        jax.tree_util.tree_leaves(variables["params"]["w2v2_pr"])[0])
+    with mesh:
+        state = shard_tree(mesh, state)
+        sbatch = shard_batch(mesh, batch)
+        step = make_train_step(loss_fn, optimizer, mesh)
+        state, metrics = step(state, sbatch, jax.random.PRNGKey(5),
+                              jnp.float32(1e-4))
+    assert np.isfinite(float(metrics["loss"]))
+    # the frozen tower is bit-identical after the sharded step
+    after = np.asarray(
+        jax.tree_util.tree_leaves(state.params["w2v2_pr"])[0])
+    np.testing.assert_array_equal(before, after)
