@@ -208,13 +208,15 @@ class W2V2PRPredictor:
             decode_best(log_probs[b, : frame_lengths[b]])
             for b in range(len(wavs))
         ]
+        n = len(wavs)  # drop the power-of-two serving-shape pad rows
         return {
-            "features_hidden": np.asarray(out["features_hidden"]).transpose(0, 2, 1),
+            "features_hidden": np.asarray(
+                out["features_hidden"])[:n].transpose(0, 2, 1),
             "last_transf_hidden": np.asarray(
-                out["last_transf_hidden"]).transpose(0, 2, 1),
-            "phoneme_logits": logits.transpose(0, 2, 1),
+                out["last_transf_hidden"])[:n].transpose(0, 2, 1),
+            "phoneme_logits": logits[:n].transpose(0, 2, 1),
             "phn_pred_seq_idx": [np.asarray(s) for s in seqs],
-            "frame_seq_lens": frame_lengths,
+            "frame_seq_lens": frame_lengths[:n],
         }
 
     def get_ctc_logits(self, wav) -> np.ndarray:

@@ -308,3 +308,17 @@ def test_micro_batcher_pad_to_max_matches_unpadded(models):
         np.testing.assert_allclose(a["tvs_pred"], b["tvs_pred"],
                                    rtol=1e-4, atol=1e-5)
         assert "phn_fc_probs" not in a and "phn_fc_logits" not in a
+
+
+def test_get_embeddings_row_count_contract(models):
+    """Batch-dim outputs match the input count (no serving-shape pad rows
+    leak through the reference get_embeddings contract)."""
+    _, (pr, pp), _ = models
+    pred = W2V2PRPredictor(pr, pp)
+    rng = np.random.default_rng(6)
+    wavs = [rng.standard_normal(3200).astype(np.float32) for _ in range(3)]
+    out = pred.get_embeddings(wavs)
+    assert out["phoneme_logits"].shape[0] == 3
+    assert out["last_transf_hidden"].shape[0] == 3
+    assert len(out["phn_pred_seq_idx"]) == 3
+    assert len(out["frame_seq_lens"]) == 3
