@@ -76,9 +76,17 @@ class HPRCDataset:
         tvs_norm = _load_pickle(row.path_tvs_norm)
         tvs_norm_49hz = _load_pickle(row.path_tvs_norm_49hz)
 
+        # the f0 feature column is optional (written by the
+        # write_acoustic_features step of the prep driver; older manifests
+        # and the synthetic corpus don't carry it)
+        f0 = (_load_pickle(row.path_f0)
+              if "path_f0" in row.index and isinstance(row.path_f0, str)
+              else None)
+
         return {
             "audio": np.asarray(audio, np.float32),
             "audio_len": len(audio),
+            "f0": f0,
             "mspec": mspec,
             # frame count of the (T, n_mels) spectrogram (round-1 bug used
             # len(mspec[1]) = the mel-bin count; VERDICT r1 weak #5)
@@ -116,13 +124,25 @@ def loso_split(
     test_f = test_df[test_df.rate == "F"]
 
     rest = hprc_df.drop(test_df.index)
-    texts = rest.text.unique()
-    # at least one validation text whenever ≥2 texts exist: the reference's
-    # int(0.1·n) (train_aptai.py:214-224) floors to an EMPTY validation set
-    # on small corpora, which silently yields NaN val metrics (every epoch
-    # then "improves" the best-checkpoint watermark) — deliberate deviation
+    if train_val_rate in ("N", "F"):
+        rate_rest = rest[rest.rate == train_val_rate]
+    elif train_val_rate == "both":
+        rate_rest = rest
+    else:
+        raise ValueError("train_val_rate must be N / F / both")
+
+    # Texts eligible for validation must have rows at the requested rate —
+    # otherwise the forced floor below can still produce an empty (NaN-metric)
+    # validation set after rate filtering.
+    texts = rate_rest.text.unique()
+    # at least one validation text whenever ≥2 texts exist AND the caller
+    # asked for a validation set at all: the reference's int(0.1·n)
+    # (train_aptai.py:214-224) floors to an EMPTY validation set on small
+    # corpora, which silently yields NaN val metrics (every epoch then
+    # "improves" the best-checkpoint watermark) — deliberate deviation.  An
+    # explicit valid_text_fraction=0 is respected (no floor).
     k = int(len(texts) * valid_text_fraction)
-    if k == 0 and len(texts) > 1:
+    if k == 0 and len(texts) > 1 and valid_text_fraction > 0:
         k = 1
     valid_texts = set(rng.choice(texts, size=k, replace=False)) if k else set()
 
@@ -132,8 +152,6 @@ def loso_split(
     if train_val_rate in ("N", "F"):
         train_df = train_df[train_df.rate == train_val_rate]
         valid_df = valid_df[valid_df.rate == train_val_rate]
-    elif train_val_rate != "both":
-        raise ValueError("train_val_rate must be N / F / both")
 
     return (train_df.reset_index(drop=True), valid_df.reset_index(drop=True),
             test_n.reset_index(drop=True), test_f.reset_index(drop=True))

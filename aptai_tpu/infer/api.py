@@ -65,6 +65,17 @@ def _tv_dict(tvs: np.ndarray) -> Dict[str, List[float]]:
     return {k: tvs[:, i].tolist() for i, k in enumerate(TV_ORDER)}
 
 
+def _strip_pad_rows(out: Dict, n: int) -> Dict:
+    """Slice every (batch-leading) output back to the caller's item count.
+
+    The device-side batch dim is bucketed to the next power of two (see
+    :func:`_prepare`), so the raw forward returns silence pad rows.  The
+    public contract is ``leading dim == len(wavs)`` for every value; the
+    slice happens device-side (lazy), so a subsequent fetch marshals only
+    real rows."""
+    return {k: v[:n] for k, v in out.items()}
+
+
 def _decode_with_times(log_probs: np.ndarray):
     nat = beam_search_native(log_probs)
     if nat is not None:
@@ -89,7 +100,9 @@ class APTAIPredictor:
 
     def predict_batch(self, wavs: Sequence[np.ndarray],
                       fields: Optional[Sequence[str]] = None) -> Dict:
-        """Batched forward; ``fields`` (e.g. ``("tvs_pred",
+        """Batched forward; every returned array has leading dim
+        ``len(wavs)`` (the device-side batch bucketing pad rows are sliced
+        off before returning).  ``fields`` (e.g. ``("tvs_pred",
         "phn_fc_pred")``) restricts the outputs computed and fetched:
         XLA dead-code-eliminates unserved heads (e.g. the (B, T, V)
         softmax when only TVs are served) and — on the axon tunnel, where
@@ -102,8 +115,10 @@ class APTAIPredictor:
 
             audio, lengths = shard_batch(self.mesh, (audio, lengths))
             with self.mesh:
-                return fwd(self.params, audio, lengths)
-        return fwd(self.params, audio, lengths)
+                out = fwd(self.params, audio, lengths)
+        else:
+            out = fwd(self.params, audio, lengths)
+        return _strip_pad_rows(out, len(wavs))
 
     def get_aptai_output(self, wav) -> Dict:
         """Single-utterance dict, schema of reference models/aptai.py:174-179
@@ -124,7 +139,11 @@ class APTAIPredictor:
 
 def _selective_jit(model, method: str):
     """Per-``fields`` cache of jitted forwards returning only those outputs
-    (+frame_lengths) — see :meth:`APTAIPredictor._fwd_for`."""
+    (+frame_lengths) — see :meth:`APTAIPredictor._fwd_for`.
+
+    Unknown field names raise ``ValueError`` at trace time (the first call
+    with that ``fields`` tuple) instead of surfacing as a distant KeyError
+    in the caller."""
     cache: Dict = {}
 
     def get(fields):
@@ -134,6 +153,13 @@ def _selective_jit(model, method: str):
                 out = model.apply({"params": p}, a, l, method=method)
                 if key is None:
                     return out
+                unknown = set(key) - set(out)
+                if unknown:
+                    raise ValueError(
+                        f"unknown output field(s) {sorted(unknown)}; "
+                        f"{type(model).__name__}.{method} produces "
+                        f"{sorted(out)}"
+                    )
                 keep = set(key) | {"frame_lengths"}
                 return {k: v for k, v in out.items() if k in keep}
 
@@ -155,8 +181,11 @@ class ForceAPTAIPredictor:
 
     def predict_batch(self, wavs: Sequence[np.ndarray],
                       fields: Optional[Sequence[str]] = None) -> Dict:
+        """Batched forward; leading dim of every output is ``len(wavs)``
+        (bucketing pad rows sliced off device-side)."""
         audio, lengths = _prepare(wavs)
-        return self._fwd_for(fields)(self.params, audio, lengths)
+        out = self._fwd_for(fields)(self.params, audio, lengths)
+        return _strip_pad_rows(out, len(wavs))
 
     def get_faptai_output(self, wav) -> Dict:
         """Schema of reference models/force_aptai.py:316-322."""
@@ -192,8 +221,11 @@ class W2V2PRPredictor:
 
     def encode_batch(self, wavs: Sequence[np.ndarray],
                      fields: Optional[Sequence[str]] = None) -> Dict:
+        """Batched encode; leading dim of every output is ``len(wavs)``
+        (bucketing pad rows sliced off device-side)."""
         audio, lengths = _prepare(wavs)
-        return self._encode_for(fields)(self.params, audio, lengths)
+        out = self._encode_for(fields)(self.params, audio, lengths)
+        return _strip_pad_rows(out, len(wavs))
 
     def get_embeddings(self, wavs: Sequence[np.ndarray]) -> Dict:
         """Reference models/w2v2_pr.py:124-167 contract: conv features,
@@ -208,7 +240,7 @@ class W2V2PRPredictor:
             decode_best(log_probs[b, : frame_lengths[b]])
             for b in range(len(wavs))
         ]
-        n = len(wavs)  # drop the power-of-two serving-shape pad rows
+        n = len(wavs)  # == row count: encode_batch strips pad rows
         return {
             "features_hidden": np.asarray(
                 out["features_hidden"])[:n].transpose(0, 2, 1),

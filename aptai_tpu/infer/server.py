@@ -57,26 +57,28 @@ class MicroBatcher:
         return self
 
     def run_batch(self, wavs: Sequence[np.ndarray]) -> List[Dict]:
-        """Run one coalesced batch and split results per item."""
+        """Run one coalesced batch and split results per item.
+
+        Relies on the ``predict_batch`` contract (``infer/api.py``): every
+        output is batch-leading with leading dim == number of submitted
+        wavs — no shape heuristics.  Frame-axis arrays (second dim ≥ the
+        item's frame count) are cut to the item's true frame length."""
         fill = list(wavs)
         if self.pad_to_max and len(fill) < self.max_batch_size:
             pad = np.zeros_like(np.asarray(fill[0]))
             fill.extend([pad] * (self.max_batch_size - len(fill)))
         out = self.predict_batch(fill)
         frame_lengths = np.asarray(out["frame_lengths"])
-        n_rows = len(frame_lengths)  # ≥ len(wavs): serving-shape pad rows
         results = []
         for b in range(len(wavs)):
             n = int(frame_lengths[b])
             item = {}
             for k, v in out.items():
                 arr = np.asarray(v)
-                if arr.ndim >= 2 and arr.shape[0] == n_rows:
+                if arr.ndim >= 2:
                     item[k] = arr[b, :n] if arr.shape[1] >= n else arr[b]
-                elif arr.ndim == 1 and arr.shape[0] == n_rows:
-                    item[k] = arr[b]
                 else:
-                    item[k] = arr
+                    item[k] = arr[b]
             results.append(item)
         return results
 

@@ -439,11 +439,11 @@ _mha_bhtd_flash.defvjp(_mha_bhtd_flash_fwd, _mha_bhtd_flash_bwd)
 # Below this many bytes of (B, H, T, T) f32 logits, XLA's fused attention
 # beats the flash kernel's grid overheads on this part (same-day A/B,
 # benchmarks/PERF.md round 2: at the blessed training shape B=8, T=256 the
-# XLA fwd+bwd pair runs 10.1 ms vs flash's 21.4 ms per 24 layers, and the
-# rematerialized (T, T) block under jax.checkpoint is only ~33 MB; at the
-# inference shape B=32, T=512 flash wins by 21% and the 537 MB logits
-# tensor must never exist).  Dispatch by problem size, like any production
-# attention library.
+# XLA fwd+bwd pair runs 10.1 ms vs flash's 21.4 ms per 24 layers — XLA
+# materializes the small (T, T) block, which is only ~33 MB there, and its
+# fusion wins; at the inference shape B=32, T=512 flash wins by 21% and
+# the 537 MB logits tensor must never exist).  Dispatch by problem size,
+# like any production attention library.
 _FLASH_MIN_LOGITS_BYTES = 64 * 2**20
 
 

@@ -15,6 +15,7 @@ default production layout is pure data parallel (``model=1``).
 from __future__ import annotations
 
 import re
+import warnings
 from typing import Optional, Sequence
 
 import numpy as np
@@ -126,6 +127,16 @@ def shard_batch(mesh: Mesh, batch):
             )
         if getattr(x, "ndim", 0) >= 1 and x.shape[0] % n_data == 0:
             return jax.device_put(x, NamedSharding(mesh, P(DATA_AXIS)))
+        if getattr(x, "ndim", 0) >= 1 and n_data > 1:
+            # replication means every device runs the FULL batch — n_data×
+            # redundant work; make that visible instead of silent
+            warnings.warn(
+                f"shard_batch: leading dim {x.shape[0]} does not divide the "
+                f"data axis ({n_data}) — replicating (every device computes "
+                "the whole batch); bucket batch sizes to a multiple of the "
+                "data axis for real data parallelism",
+                stacklevel=3,
+            )
         return jax.device_put(x, NamedSharding(mesh, P()))
 
     return jax.tree.map(put, batch)

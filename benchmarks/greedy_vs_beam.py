@@ -53,7 +53,16 @@ def main():
     if work.exists():
         # stale experiment dirs would flip the trainers into resume mode
         # (config.finalize: train_from_ckpt = exp_dir.exists()) and taint
-        # the twin-run comparison — always start clean
+        # the twin-run comparison — start clean.  Only delete a directory
+        # this script created (marker subdirs from a prior run); refuse to
+        # rmtree an arbitrary --work path the user may care about.
+        ours = (work / "pr").exists() or any(work.glob("force_*"))
+        if not ours and any(work.iterdir()):
+            raise SystemExit(
+                f"--work {work} exists and does not look like a previous "
+                "run of this script (no pr/ or force_* subdirs); refusing "
+                "to delete it — pass a fresh path"
+            )
         shutil.rmtree(work)
     work.mkdir(parents=True, exist_ok=True)
     cp_csv = make_synthetic_commonphone(work / "cp", 48, 6, 6)

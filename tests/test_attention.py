@@ -174,7 +174,8 @@ def test_encoder_bhtd_layout_matches_bthd(rng):
 
 def test_flash_bhtd_long_sequence_multi_block(rng, monkeypatch):
     """T > 512 exercises the multi-K-block online-softmax path AND a
-    multi-q-tile grid (T=600 → t_padded 1024, q_block 512, k_block 512)."""
+    multi-q-tile grid (T=600 → t_padded 1024, q_block 256, k_block 512 —
+    the reduced-footprint long-sequence tiling, group 2)."""
     _interpret_pallas(monkeypatch)
     from aptai_tpu.ops.attention import _tiles, flash_attention_bhtd
 

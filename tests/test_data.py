@@ -148,8 +148,9 @@ def test_hprc_synthetic_end_to_end(tmp_path):
 
     batch = collate_tv([ds[i] for i in range(3)])
     assert batch["tv_targets"].shape[-1] == 9
+    # padding region sentinel: frame-label pad 0 ⟺ TV pad −100.0
     assert (batch["tv_targets"][0][batch["phn_frames"][0] == 0] ==
-            TV_PAD_VALUE).all() or True  # padding region sentinel
+            TV_PAD_VALUE).all()
     t = batch["phn_frames"].shape[1]
     assert batch["tv_targets"].shape[1] == t
 
@@ -183,6 +184,35 @@ def test_loso_split_contract(tmp_path):
     # small corpora still get a non-empty validation set (int(0.1·n) would
     # floor to zero texts → NaN val metrics and a dead best-ckpt watermark)
     assert len(valid) > 0 and len(valid_n) > 0
+
+
+def test_loso_split_floor_respects_rate_and_zero_fraction(tmp_path):
+    csv_path = make_synthetic_hprc(tmp_path, utts_per_speaker=3)
+    df = pd.read_csv(csv_path)
+    # an explicit valid_text_fraction=0 means NO validation set (no floor)
+    train0, valid0, _, _ = loso_split(df, "M01", "both",
+                                      valid_text_fraction=0.0)
+    assert len(valid0) == 0
+    # the k=1 floor must pick a text that has rows at the requested rate:
+    # make one text F-only, then ask for rate N — the forced validation
+    # text must still yield a non-empty N-rate validation set
+    f_only_text = df.text.unique()[0]
+    df2 = df[~((df.text == f_only_text) & (df.rate == "N"))]
+    for seed in range(5):
+        _, valid_n, _, _ = loso_split(df2, "M01", "N", seed=seed)
+        assert len(valid_n) > 0
+        assert (valid_n.rate == "N").all()
+
+
+def test_plot_f0_wav_saves_figure(tmp_path):
+    from aptai_tpu.utils.plotting import plot_f0_wav
+
+    fs = 16000
+    wav = np.sin(2 * np.pi * 220 * np.arange(fs) / fs).astype(np.float32)
+    f0 = np.full(len(wav) // 256, 220.0)
+    out = tmp_path / "f0.png"
+    plot_f0_wav(f0, wav, fs, save_path=out)
+    assert out.exists() and out.stat().st_size > 0
 
 
 def test_zscore_utterance():
@@ -262,7 +292,6 @@ def test_commonphone_csv_builder(tmp_path):
             "MAU": [Interval(0.0, 0.2, "(...)"), Interval(0.2, 0.5, "a")],
             "ORT-MAU": [Interval(0.0, 0.5, "word")],
         })
-        rows[split if split != "train" or True else split]
         rows[split].append({"audio file": f"{name}.mp3", "id": f"spk{i % 2}"})
     for split, data in rows.items():
         pd.DataFrame(data).to_csv(cp / "en" / f"{split}.csv", index=False)

@@ -322,3 +322,25 @@ def test_get_embeddings_row_count_contract(models):
     assert out["last_transf_hidden"].shape[0] == 3
     assert len(out["phn_pred_seq_idx"]) == 3
     assert len(out["frame_seq_lens"]) == 3
+
+
+def test_predict_batch_strips_pad_rows(models, rng):
+    """Public contract: every predict_batch/encode_batch output has leading
+    dim == len(wavs), even though the device batch is bucketed to the next
+    power of two (3 wavs → device batch 4)."""
+    (aptai, ap), (pr, pp), (force, fp) = models
+    wavs = [rng.standard_normal(3200 + 800 * i).astype(np.float32)
+            for i in range(3)]
+    for out in (APTAIPredictor(aptai, ap).predict_batch(wavs),
+                ForceAPTAIPredictor(force, fp).predict_batch(wavs),
+                W2V2PRPredictor(pr, pp).encode_batch(wavs)):
+        for k, v in out.items():
+            assert np.asarray(v).shape[0] == 3, (k, np.asarray(v).shape)
+
+
+def test_predict_batch_unknown_field_raises(models, rng):
+    (aptai, ap), _, _ = models
+    pred = APTAIPredictor(aptai, ap)
+    wav = [rng.standard_normal(3200).astype(np.float32)]
+    with pytest.raises(ValueError, match="tvs_predd"):
+        pred.predict_batch(wav, fields=("tvs_predd",))
