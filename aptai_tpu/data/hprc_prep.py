@@ -524,6 +524,67 @@ def compute_f0_rapt(wav_16k: np.ndarray, speaker: str,
                      hop_length, min=lo, max=hi, otype=1)
 
 
+def compute_f0_mspec(wav_16k: np.ndarray, speaker: str):
+    """The combined per-utterance F0 + mel-spectrogram feature
+    (reference data/dataset_hprc.py:1935-2003 ``hprc_f0_mspec``): F0 at the
+    speaker-sex-dependent range with hop 256 and the normalized log-mel
+    spectrogram on the same 256-sample hop (one F0 value per mspec frame
+    grid step).  Returns ``(f0, mspec)``."""
+    f0 = compute_f0_rapt(wav_16k, speaker, hop_length=256)
+    mspec = compute_utterance_mspec(wav_16k)
+    return f0, mspec
+
+
+def _iter_speaker_wavs(prep_path: Path):
+    for spk_dir in sorted(p for p in Path(prep_path).iterdir() if p.is_dir()):
+        audio_dir = spk_dir / "audio"
+        if not audio_dir.exists():
+            continue
+        for wav in sorted(audio_dir.glob("*.wav")):
+            yield spk_dir, wav
+
+
+def _dump(path: Path, obj) -> None:
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "wb") as f:
+        pickle.dump(obj, f)
+
+
+def write_acoustic_features(prep_path, replace: bool = False,
+                            znorm_mspec: bool = False,
+                            features=("f0", "mspec", "mfccs")) -> int:
+    """Corpus walker for the acoustic feature pickles: per utterance writes
+    ``<spk>/f0/<utt>.pkl`` + ``<spk>/mspec/<utt>.pkl`` (reference
+    ``hprc_f0_mspec``, data/dataset_hprc.py:1935-2003; znorm per
+    ``hprc_mspec_znorm`` :1754-1797 when requested) and
+    ``<spk>/mfccs/<utt>.pkl`` (``hprc_mfccs`` :1800-1847).  Skips existing
+    files unless ``replace``; returns the number of utterances touched."""
+    from aptai_tpu.data.audio_io import load_wav_16k
+
+    written = 0
+    for spk_dir, wav_path in _iter_speaker_wavs(prep_path):
+        name = wav_path.stem
+        targets = {feat: spk_dir / feat / (name + ".pkl")
+                   for feat in features}
+        todo = {feat: p for feat, p in targets.items()
+                if replace or not p.exists()}
+        if not todo:
+            continue
+        wav = load_wav_16k(wav_path)
+        if "f0" in todo or "mspec" in todo:
+            f0, mspec = compute_f0_mspec(wav, spk_dir.name)
+            if znorm_mspec:
+                mspec = mspec_znorm(mspec)
+            if "f0" in todo:
+                _dump(todo["f0"], f0)
+            if "mspec" in todo:
+                _dump(todo["mspec"], mspec)
+        if "mfccs" in todo:
+            _dump(todo["mfccs"], compute_utterance_mfcc(wav))
+        written += 1
+    return written
+
+
 def gaussian_smooth_tvs(tvs: Dict[str, np.ndarray],
                         sigma: float = 2.0) -> Dict[str, np.ndarray]:
     """Gaussian TV smoothing variant (reference data/dataset_hprc.py:2535-2577
@@ -646,6 +707,7 @@ def build_hprc_csv(prep_path) -> Path:
                 str(spk_dir / "tvs_norm_49hz" / (name + ".pkl")),
                 str(spk_dir / "mspec" / (name + ".pkl")),
                 str(spk_dir / "mfccs" / (name + ".pkl")),
+                str(spk_dir / "f0" / (name + ".pkl")),
             ])
             index += 1
     out = prep_path / "hprc.csv"
@@ -655,6 +717,7 @@ def build_hprc_csv(prep_path) -> Path:
             "index", "path_wav", "speaker", "text", "phoneme_labels",
             "phoneme_timestamps", "rate", "path_tvs", "path_tvs_49hz",
             "path_tvs_norm", "path_tvs_norm_49hz", "path_mspec", "path_mfccs",
+            "path_f0",
         ])
         w.writerows(rows)
     return out
@@ -680,3 +743,252 @@ def add_phn_frames_to_csv(csv_path, vocab: Dict[str, int],
         col.append(phoneme_frame_labels(ts, ids, len(audio), cfg))
     df["phn_frames_49hz"] = col
     df.to_csv(csv_path, index=False)
+
+
+# ---------------------------------------------------------------------------
+# Corpus walkers (steps 2, 4–7 over a whole prepared tree) + driver
+# ---------------------------------------------------------------------------
+
+def _load_pkl(path: Path):
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def write_lowpass_ema(prep_path, replace: bool = False) -> int:
+    """NaN-interpolate + Butterworth-low-pass every EMA pickle into
+    ``<spk>/ema_low/`` (reference ``hprc_lowpass_ema``,
+    data/dataset_hprc.py:2225-2303; palate traces pass through smoothed
+    too, matching the reference's treatment of every trajectory)."""
+    written = 0
+    for spk_dir in sorted(p for p in Path(prep_path).iterdir() if p.is_dir()):
+        ema_dir = spk_dir / "ema"
+        if not ema_dir.exists():
+            continue
+        for pkl in sorted(ema_dir.glob("*.pkl")):
+            target = spk_dir / "ema_low" / pkl.name
+            if target.exists() and not replace:
+                continue
+            _dump(target, lowpass_ema_dict(_load_pkl(pkl)))
+            written += 1
+    return written
+
+
+def write_tvs(prep_path, lowpass: bool = True, replace: bool = False) -> int:
+    """9-TV geometry per utterance into ``<spk>/tvs/`` (reference
+    ``hprc_tvs``, data/dataset_hprc.py:1247-1364): speaker-level sensor-x
+    medians over all of the speaker's utterances, palate trace from
+    ``<spk>_palate.pkl``."""
+    written = 0
+    for spk_dir in sorted(p for p in Path(prep_path).iterdir() if p.is_dir()):
+        ema_dir = spk_dir / ("ema_low" if lowpass else "ema")
+        if not ema_dir.exists():
+            continue
+        palate_pkl = ema_dir / f"{spk_dir.name}_palate.pkl"
+        utt_pkls = [p for p in sorted(ema_dir.glob("*.pkl"))
+                    if "palate" not in p.name]
+        if not palate_pkl.exists() or not utt_pkls:
+            continue
+        palate = _load_pkl(palate_pkl)
+        emas = [_load_pkl(p) for p in utt_pkls]
+        medians = dict(
+            median_llx=median_sensor_x(emas, "LL"),
+            median_ttx=median_sensor_x(emas, "TT"),
+            median_tbx=median_sensor_x(emas, "TB"),
+            median_trx=median_sensor_x(emas, "TR"),
+        )
+        for pkl, ema in zip(utt_pkls, emas):
+            target = spk_dir / "tvs" / pkl.name
+            if target.exists() and not replace:
+                continue
+            _dump(target, compute_tvs(ema, palate, **medians))
+            written += 1
+    return written
+
+
+def write_tv_norm(prep_path, scheme: str = "zscore_utterance",
+                  rate: str = "both", replace: bool = False) -> int:
+    """Normalize every TV pickle into ``<spk>/tvs_norm/`` using one of the
+    four schemes (reference step 2.5, data/dataset_hprc.py:2604-2611;
+    ``zscore_utterance`` is the blessed variant, ':2610 -> best')."""
+    prep_path = Path(prep_path)
+    spk_dirs = sorted(p for p in prep_path.iterdir() if p.is_dir())
+
+    def utt_rate(name: str) -> str:
+        return name.rsplit("_", 1)[-1].split(".")[0]
+
+    if scheme == "minmax_zscore_global":
+        tv_files, rates = [], []
+        for spk_dir in spk_dirs:
+            for pkl in sorted((spk_dir / "tvs").glob("*.pkl")):
+                tv_files.append(_load_pkl(pkl))
+                rates.append(utt_rate(pkl.stem))
+        gstats = global_stats(tv_files, rates, rate)
+
+    written = 0
+    for spk_dir in spk_dirs:
+        tvs_dir = spk_dir / "tvs"
+        if not tvs_dir.exists():
+            continue
+        pkls = sorted(tvs_dir.glob("*.pkl"))
+        if scheme in ("minmax_speaker", "zscore_speaker"):
+            smin, smax, smean, sstd = speaker_stats(
+                [_load_pkl(p) for p in pkls]
+            )
+        for pkl in pkls:
+            target = spk_dir / "tvs_norm" / pkl.name
+            if target.exists() and not replace:
+                continue
+            tvs = _load_pkl(pkl)
+            if scheme == "zscore_utterance":
+                norm = zscore_utterance(tvs)
+            elif scheme == "minmax_speaker":
+                norm = minmax_speaker(tvs, smin, smax)
+            elif scheme == "zscore_speaker":
+                norm = zscore_speaker(tvs, smean, sstd)
+            elif scheme == "minmax_zscore_global":
+                norm = minmax_zscore_global(tvs, *gstats)
+            else:
+                raise ValueError(f"unknown normalization scheme {scheme!r}")
+            _dump(target, norm)
+            written += 1
+    return written
+
+
+def write_tvs_49hz(prep_path, cfg: Optional[Wav2Vec2Config] = None,
+                   replace: bool = False) -> int:
+    """Interpolate raw and normalized TVs to the encoder frame count into
+    ``<spk>/tvs_49hz/`` and ``<spk>/tvs_norm_49hz/`` (reference
+    ``interpolate_TVs_49hz``, data/dataset_hprc.py:2316-2423 — without
+    loading a checkpoint; T from the closed-form conv formula)."""
+    from aptai_tpu.data.audio_io import load_wav_16k
+
+    written = 0
+    for spk_dir, wav_path in _iter_speaker_wavs(prep_path):
+        name = wav_path.stem + ".pkl"
+        n_samples = None
+        for src, dst in (("tvs", "tvs_49hz"), ("tvs_norm", "tvs_norm_49hz")):
+            src_pkl = spk_dir / src / name
+            target = spk_dir / dst / name
+            if not src_pkl.exists() or (target.exists() and not replace):
+                continue
+            if n_samples is None:
+                n_samples = len(load_wav_16k(wav_path))
+            _dump(target, interpolate_tvs_to_frames(
+                _load_pkl(src_pkl), n_samples, cfg))
+            written += 1
+    return written
+
+
+def prepare_hprc(
+    raw_path=None,
+    prep_path=None,
+    norm_scheme: str = "zscore_utterance",
+    norm_rate: str = "both",
+    run_maus: bool = False,
+    replace: bool = False,
+    vocab_path=None,
+    cfg: Optional[Wav2Vec2Config] = None,
+    log=print,
+) -> Path:
+    """The 8-step offline pipeline in the reference's blessed order
+    (data/dataset_hprc.py __main__:2580-2622), as one resumable driver:
+
+      1. :func:`extract_mat`            (skipped when ``raw_path`` is None)
+      2. :func:`write_acoustic_features`  — f0 + mspec + mfccs
+      3. :func:`run_maus_alignment`     (network; off by default — existing
+                                         ``<spk>/phonemes/*.TextGrid`` are
+                                         used as-is)
+      4. :func:`write_lowpass_ema`
+      5. :func:`write_tvs`
+      6. :func:`write_tv_norm`          (blessed: zscore_utterance)
+      7. :func:`write_tvs_49hz`
+      8. :func:`build_hprc_csv` + :func:`add_phn_frames_to_csv`
+
+    Every step skips already-existing outputs unless ``replace`` — rerunning
+    after an interruption resumes where it left off.  Returns the manifest
+    path."""
+    from aptai_tpu.data.vocab import build_vocab, load_vocab, save_vocab
+
+    if raw_path is None and prep_path is None:
+        raise ValueError("need raw_path and/or prep_path")
+    if prep_path is None:
+        prep_path = Path(str(raw_path) + "_prep")
+    prep_path = Path(prep_path)
+
+    if raw_path is not None:
+        log(f"[1/8] extract_mat {raw_path} -> {prep_path}")
+        extract_mat(raw_path, prep_path)
+    else:
+        log("[1/8] extract_mat skipped (no raw_path)")
+
+    log("[2/8] acoustic features (f0 + mspec + mfccs)")
+    n = write_acoustic_features(prep_path, replace=replace)
+    log(f"      {n} utterances")
+
+    if run_maus:
+        log("[3/8] MAUS forced alignment (network)")
+        n = run_maus_alignment(prep_path, replace=replace)
+        log(f"      {n} TextGrids downloaded")
+    else:
+        log("[3/8] MAUS skipped (using existing <spk>/phonemes/ TextGrids)")
+
+    log("[4/8] EMA low-pass")
+    log(f"      {write_lowpass_ema(prep_path, replace=replace)} pickles")
+
+    log("[5/8] tract variables")
+    log(f"      {write_tvs(prep_path, replace=replace)} pickles")
+
+    log(f"[6/8] TV normalization ({norm_scheme}, rate={norm_rate})")
+    log(f"      {write_tv_norm(prep_path, norm_scheme, norm_rate, replace)}"
+        " pickles")
+
+    log("[7/8] 49 Hz interpolation")
+    log(f"      {write_tvs_49hz(prep_path, cfg, replace=replace)} pickles")
+
+    log("[8/8] manifest + frame labels")
+    csv_path = build_hprc_csv(prep_path)
+    if vocab_path is not None and Path(vocab_path).exists():
+        vocab = load_vocab(vocab_path)
+    else:
+        vocab = build_vocab(pd.read_csv(csv_path).phoneme_labels)
+        save_vocab(vocab, prep_path / "vocab.json")
+    add_phn_frames_to_csv(csv_path, vocab, cfg)
+    log(f"      {csv_path}")
+    return csv_path
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        prog="python -m aptai_tpu.data.hprc_prep",
+        description="HPRC offline preparation pipeline "
+                    "(reference data/dataset_hprc.py __main__:2580-2649)",
+    )
+    ap.add_argument("raw", nargs="?", default=None,
+                    help="raw HPRC release (.mat tree); omit with --prep to "
+                         "resume on an already-extracted tree")
+    ap.add_argument("--prep", default=None,
+                    help="prepared output tree (default: <raw>_prep)")
+    ap.add_argument("--norm", default="zscore_utterance",
+                    choices=["zscore_utterance", "minmax_speaker",
+                             "zscore_speaker", "minmax_zscore_global"],
+                    help="TV normalization scheme (reference blessed: "
+                         "zscore_utterance)")
+    ap.add_argument("--norm_rate", default="both", choices=["N", "F", "both"],
+                    help="rate constraint for the global scheme's stats")
+    ap.add_argument("--run_maus", action="store_true",
+                    help="call the MAUS BAS web service (network)")
+    ap.add_argument("--replace", action="store_true",
+                    help="recompute outputs that already exist")
+    ap.add_argument("--vocab", default=None,
+                    help="vocab.json for frame labels (default: built from "
+                         "the manifest and saved to <prep>/vocab.json)")
+    args = ap.parse_args(argv)
+    prepare_hprc(args.raw, args.prep, args.norm, args.norm_rate,
+                 run_maus=args.run_maus, replace=args.replace,
+                 vocab_path=args.vocab)
+
+
+if __name__ == "__main__":
+    main()
