@@ -23,6 +23,36 @@ import numpy as np
 NEG_INF = -math.inf
 
 
+def beam_decode_padded(log_probs, frame_lengths, max_len: int):
+    """Host beam decode of a batch into fixed-width padded id sequences.
+
+    Used by the *split* beam_host training step (device encode → THIS on the
+    main thread → device head; see models/force_aptai.py:encode_frozen) and
+    numerically identical to the in-jit callback decode.  Returns
+    ``(seqs (B, max_len) int32, lengths (B,) int32, truncated (B,) int32)``
+    with the reference's 60-token cap semantics (force_aptai.py:109-115;
+    overflow counted, not fatal)."""
+    import numpy as np
+
+    from aptai_tpu.decode.native import beam_search_native
+
+    lp = np.asarray(log_probs, np.float32)
+    fl = np.asarray(frame_lengths)
+    b = lp.shape[0]
+    out = np.zeros((b, max_len), np.int32)
+    lens = np.zeros((b,), np.int32)
+    trunc = np.zeros((b,), np.int32)
+    for i in range(b):
+        nat = beam_search_native(lp[i, : fl[i]])
+        toks = (nat[0] if nat is not None
+                else list(beam_search(lp[i, : fl[i]])[0].tokens))
+        n = min(len(toks), max_len)
+        out[i, :n] = toks[:n]
+        lens[i] = n
+        trunc[i] = max(len(toks) - max_len, 0)
+    return out, lens, trunc
+
+
 def _logadd(a: float, b: float) -> float:
     if a == NEG_INF:
         return b

@@ -52,28 +52,18 @@ def _host_beam_decode(logits, frame_lengths, max_len: int):
     # pure_callback runs on an XLA host-callback thread and takes the
     # Python import lock — with any other thread active (e.g. the
     # PrefetchLoader producer) this deadlocks the whole process (all
-    # threads futex-wait; reproduced on CPU-JAX, round 2)
-    import numpy as np
-
-    from aptai_tpu.decode.beam import beam_search
-    from aptai_tpu.decode.native import beam_search_native
+    # threads futex-wait; reproduced on CPU-JAX, round 2).  NOTE even with
+    # imports pre-resolved, a jit embedding this callback must not execute
+    # while another Python thread is alive — the TRAINERS therefore use the
+    # split path (encode_frozen → decode.beam.beam_decode_padded on the
+    # main thread → train_from_encoded); this in-jit variant remains for
+    # single-threaded inference/experiment use.
+    from aptai_tpu.decode.beam import beam_decode_padded
 
     b = logits.shape[0]
 
     def host(lp, fl):
-        lp, fl = np.asarray(lp), np.asarray(fl)
-        out = np.zeros((b, max_len), np.int32)
-        lens = np.zeros((b,), np.int32)
-        trunc = np.zeros((b,), np.int32)
-        for i in range(b):
-            nat = beam_search_native(lp[i, : fl[i]])
-            toks = (nat[0] if nat is not None
-                    else list(beam_search(lp[i, : fl[i]])[0].tokens))
-            n = min(len(toks), max_len)
-            out[i, :n] = toks[:n]
-            lens[i] = n
-            trunc[i] = max(len(toks) - max_len, 0)
-        return out, lens, trunc
+        return beam_decode_padded(lp, fl, max_len)
 
     log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     return jax.pure_callback(
@@ -121,26 +111,29 @@ class ForceAPTAI(nn.Module):
         )
         self._taps = lowpass_fir_taps(self.lowpass_cutoff_hz, self.frame_rate_hz)
 
-    def _align(self, audio_inputs, audio_lengths, deterministic):
-        """Frozen-PR encode → greedy CTC sequence → cross-attention."""
+    def encode_frozen(self, audio_inputs, audio_lengths):
+        """The frozen-tower half of the forward: PR encode → stop-gradient
+        frame embeddings + CTC log-probs.  Public so a trainer can split the
+        beam_host step into device-encode → host-decode (on the *main*
+        thread) → device-head: embedding an XLA host callback in the train
+        step deadlocks against any other live Python thread (e.g. the
+        PrefetchLoader producer — reproduced; see train_force_aptai.py)."""
         pr_out = self.w2v2_pr.encode(
             audio_inputs, audio_lengths, deterministic=True  # frozen ⇒ eval mode
         )
-        frame_embs = jax.lax.stop_gradient(pr_out["last_transf_hidden"])
         logits = jax.lax.stop_gradient(pr_out["phoneme_logits"])
-        frame_lengths = pr_out["frame_lengths"]
+        return {
+            "frame_embs": jax.lax.stop_gradient(pr_out["last_transf_hidden"]),
+            "ctc_log_probs": jax.nn.log_softmax(
+                logits.astype(jnp.float32), axis=-1
+            ),
+            "logits": logits,
+            "frame_lengths": pr_out["frame_lengths"],
+        }
 
-        if self.decode_method == "beam_host":
-            phn_pred_seq, phn_seq_lengths, phn_seq_truncated = (
-                _host_beam_decode(logits, frame_lengths,
-                                  self.max_phn_seq_len)
-            )
-        else:
-            phn_pred_seq, phn_seq_lengths, phn_seq_truncated = greedy_decode(
-                logits, frame_lengths, blank=0,
-                max_output_length=self.max_phn_seq_len,
-                return_truncated=True,
-            )
+    def _align_core(self, frame_embs, frame_lengths, phn_pred_seq,
+                    phn_seq_lengths, phn_seq_truncated, deterministic):
+        """Post-decode half: phoneme embedding ↔ frame cross-attention."""
         phn_pred_mask = (phn_pred_seq != 0).astype(jnp.int32)
 
         phn_embs = self.phn_encoder(phn_pred_seq, deterministic=deterministic)
@@ -159,6 +152,26 @@ class ForceAPTAI(nn.Module):
             "frame_lengths": frame_lengths,
         }
 
+    def _align(self, audio_inputs, audio_lengths, deterministic):
+        """Frozen-PR encode → in-step CTC decode → cross-attention."""
+        enc = self.encode_frozen(audio_inputs, audio_lengths)
+        frame_lengths = enc["frame_lengths"]
+
+        if self.decode_method == "beam_host":
+            phn_pred_seq, phn_seq_lengths, phn_seq_truncated = (
+                _host_beam_decode(enc["logits"], frame_lengths,
+                                  self.max_phn_seq_len)
+            )
+        else:
+            phn_pred_seq, phn_seq_lengths, phn_seq_truncated = greedy_decode(
+                enc["logits"], frame_lengths, blank=0,
+                max_output_length=self.max_phn_seq_len,
+                return_truncated=True,
+            )
+        return self._align_core(enc["frame_embs"], frame_lengths,
+                                phn_pred_seq, phn_seq_lengths,
+                                phn_seq_truncated, deterministic)
+
     def __call__(
         self,
         audio_inputs: jnp.ndarray,   # (B, L)
@@ -167,6 +180,28 @@ class ForceAPTAI(nn.Module):
         deterministic: bool = True,
     ):
         a = self._align(audio_inputs, audio_lengths, deterministic)
+        return self._train_out(a, tv_targets, deterministic)
+
+    def train_from_encoded(
+        self,
+        frame_embs: jnp.ndarray,        # (B, T, H) frozen-tower embeddings
+        frame_lengths: jnp.ndarray,     # (B,)
+        phn_pred_seq: jnp.ndarray,      # (B, max_phn_seq_len) decoded ids
+        phn_seq_lengths: jnp.ndarray,   # (B,)
+        phn_seq_truncated: jnp.ndarray, # (B,)
+        tv_targets: jnp.ndarray,        # (B, T, 9)
+        deterministic: bool = True,
+    ):
+        """Training forward from pre-computed tower outputs + host-decoded
+        phoneme sequences — the second program of the split beam_host step
+        (see :meth:`encode_frozen`).  Numerically identical to ``__call__``
+        with ``decode_method='beam_host'`` (tested)."""
+        a = self._align_core(frame_embs, frame_lengths, phn_pred_seq,
+                             phn_seq_lengths, phn_seq_truncated,
+                             deterministic)
+        return self._train_out(a, tv_targets, deterministic)
+
+    def _train_out(self, a, tv_targets, deterministic):
         frame_lengths = a["frame_lengths"]
         t = a["att_out"].shape[1]
         tv_targets = _pad_or_trim(tv_targets, t, TV_PAD_VALUE)

@@ -141,6 +141,15 @@ class ForceAPTAIConfig(TrainConfig):
     # "beam_host" (the reference's host beam round-trip per step,
     # models/force_aptai.py:97 — kept for quality comparison)
     decode_method: str = "greedy"
+    # blank-collapse guard: a collapsed recognizer drives the greedy decode
+    # to empty sequences (alignment FER → 1.0 silently).  When
+    # val_ctc_seq_per ≥ threshold for `patience` consecutive epochs the
+    # trainer warns loudly; with --collapse_fallback it additionally
+    # resumes the fold with decode_method=beam_host (which still recovers
+    # non-blank paths — benchmarks/PERF.md greedy-vs-beam part 2)
+    collapse_per_threshold: float = 0.95
+    collapse_patience: int = 3
+    collapse_fallback: bool = False
 
 
 def _add_dataclass_args(parser: argparse.ArgumentParser, cls) -> None:

@@ -12,6 +12,7 @@ HBM and can never be weight-decayed — matching the reference's
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from pathlib import Path
 
@@ -34,19 +35,112 @@ from aptai_tpu.utils.logging import RunLogger
 from aptai_tpu.train.metrics import aggregate_mean_std, dict_to_csv
 
 
+_EVAL_KEYS = ("loss", "tvs_pred", "pred_frame_phns", "pred_ctc_phn_seq",
+              "phn_seq_lengths", "phn_seq_truncated")
+
+
 def force_loss_fn(model):
-    def loss_fn(params, batch, rngs):
-        out = model.apply(
-            {"params": params}, batch["audio"], batch["audio_lengths"],
-            batch["tv_targets"], deterministic=False, rngs=rngs,
-        )
-        return out["loss"], {"tv_loss": out["tv_loss"],
-                             "align_loss": out["align_loss"]}
+    """Train-step loss.  For the greedy default the whole forward (frozen
+    tower + on-device decode + head) is ONE XLA program.  For beam_host the
+    step consumes batches pre-augmented by :class:`BeamDecodedBatches`
+    (frozen-tower outputs + host-beam-decoded sequences): the decode happens
+    on the MAIN thread between two device programs instead of as an XLA host
+    callback inside the step — a jit-embedded callback deadlocks against any
+    other live Python thread (the PrefetchLoader producer; reproduced
+    deterministically on CPU-JAX), so the callback variant must never run in
+    a trainer.  Bonus: the step skips the tower entirely (its outputs ride
+    in with the batch), which the frozen-tower contract makes exact."""
+    if model.decode_method == "beam_host":
+        def loss_fn(params, batch, rngs):
+            out = model.apply(
+                {"params": params}, batch["frame_embs"],
+                batch["enc_frame_lengths"], batch["phn_pred_seq"],
+                batch["phn_seq_lengths"], batch["phn_seq_truncated"],
+                batch["tv_targets"], deterministic=False, rngs=rngs,
+                method="train_from_encoded",
+            )
+            return out["loss"], {"tv_loss": out["tv_loss"],
+                                 "align_loss": out["align_loss"]}
+    else:
+        def loss_fn(params, batch, rngs):
+            out = model.apply(
+                {"params": params}, batch["audio"], batch["audio_lengths"],
+                batch["tv_targets"], deterministic=False, rngs=rngs,
+            )
+            return out["loss"], {"tv_loss": out["tv_loss"],
+                                 "align_loss": out["align_loss"]}
 
     return loss_fn
 
 
+def _split_beam_fns(model):
+    """(encode_jit, head_jit) for the split beam_host forward."""
+    enc_j = jax.jit(lambda p, a, l: model.apply(
+        {"params": p}, a, l, method="encode_frozen"))
+    head_j = jax.jit(lambda p, fe, fl, seq, sl, tr, tv: model.apply(
+        {"params": p}, fe, fl, seq, sl, tr, tv,
+        method="train_from_encoded"))
+    return enc_j, head_j
+
+
+class BeamDecodedBatches:
+    """Loader adapter for the split beam_host step: per batch runs the
+    jitted frozen encode, beam-decodes the CTC log-probs on the calling
+    (main) thread, and yields the batch augmented with tower outputs +
+    decoded sequences.  Wraps OUTSIDE PrefetchLoader, so prefetch stays on
+    in beam mode (VERDICT r2 #5) — the producer thread only ever touches
+    numpy collation, never jit-with-callback programs."""
+
+    def __init__(self, loader, model, params):
+        from aptai_tpu.decode.beam import beam_decode_padded
+
+        self.loader = loader
+        self.model = model
+        # frozen tower ⇒ any epoch's params work; place once (a fresh
+        # buffer — never aliased with the donated train state)
+        self.params = jax.device_put(params)
+        self._decode = beam_decode_padded
+        self._enc_j, _ = _split_beam_fns(model)
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        for batch in self.loader:
+            enc = self._enc_j(self.params, batch["audio"],
+                              batch["audio_lengths"])
+            seqs, lens, trunc = self._decode(
+                enc["ctc_log_probs"], enc["frame_lengths"],
+                self.model.max_phn_seq_len,
+            )
+            out = {k: v for k, v in batch.items() if k != "audio"}
+            out.update(
+                frame_embs=enc["frame_embs"],
+                enc_frame_lengths=enc["frame_lengths"],
+                phn_pred_seq=seqs,
+                phn_seq_lengths=lens,
+                phn_seq_truncated=trunc,
+            )
+            yield out
+
+
 def make_eval_forward(model):
+    if model.decode_method == "beam_host":
+        enc_j, head_j = _split_beam_fns(model)
+        from aptai_tpu.decode.beam import beam_decode_padded
+
+        def forward(params, batch):
+            enc = enc_j(params, batch["audio"], batch["audio_lengths"])
+            seqs, lens, trunc = beam_decode_padded(
+                enc["ctc_log_probs"], enc["frame_lengths"],
+                model.max_phn_seq_len,
+            )
+            out = head_j(params, enc["frame_embs"], enc["frame_lengths"],
+                         seqs, lens, trunc, batch["tv_targets"])
+            return {k: out[k] for k in _EVAL_KEYS}
+
+        return forward
+
     @jax.jit
     def fwd(params, audio, audio_lengths, tv_targets):
         return model.apply({"params": params}, audio, audio_lengths,
@@ -55,10 +149,7 @@ def make_eval_forward(model):
     def forward(params, batch):
         out = fwd(params, batch["audio"], batch["audio_lengths"],
                   batch["tv_targets"])
-        return {k: out[k] for k in (
-            "loss", "tvs_pred", "pred_frame_phns", "pred_ctc_phn_seq",
-            "phn_seq_lengths", "phn_seq_truncated",
-        )}
+        return {k: out[k] for k in _EVAL_KEYS}
 
     return forward
 
@@ -103,33 +194,69 @@ def _loader(df, vocab, batch_size, shuffle, seed=0):
     )
 
 
+class _DecodeCollapse(Exception):
+    """Raised by the validation guard to trigger the beam_host fallback."""
+
+
 def run_speaker(cfg, hprc_df, vocab, test_spk, model, params, model_cfg,
-                eval_fwd, engine):
+                eval_fwd, engine, get_beam_setup=None):
+    # donation-proof host copy: the jitted train step donates its state, so
+    # the device buffers behind `params` die with the first fit() — but the
+    # collapse fallback and the beam batch adapter need them again
+    params = jax.tree.map(np.asarray, params)
     exp_dir = Path(cfg.exp_dir)
     train_df, valid_df, test_n_df, test_f_df = loso_split(
         hprc_df, test_spk, cfg.train_val_rate, seed=cfg.seed
     )
     eval_bs = cfg.eval_batch_size or cfg.batch_size
-    train_dl = _loader(train_df, vocab, cfg.batch_size, True, cfg.seed)
-    if cfg.decode_method != "beam_host":
-        # beam_host embeds a pure_callback in the train step; combined with
-        # the prefetch producer thread this deadlocks the process (all
-        # threads futex-wait — reproduced deterministically on CPU-JAX,
-        # round 2).  The experiment path trades prefetch overlap for
-        # liveness; the greedy default keeps it.
-        train_dl = PrefetchLoader(train_dl)
+    # prefetch is ALWAYS on: the beam_host path no longer embeds a host
+    # callback in the step (split decode — see force_loss_fn), so the
+    # producer thread is safe in both decode modes
+    train_dl = PrefetchLoader(
+        _loader(train_df, vocab, cfg.batch_size, True, cfg.seed))
+    if model.decode_method == "beam_host":
+        train_dl = BeamDecodedBatches(train_dl, model, params)
     valid_dl = _loader(valid_df, vocab, eval_bs, False)
     test_n_dl = _loader(test_n_df, vocab, eval_bs, False)
     test_f_dl = _loader(test_f_df, vocab, eval_bs, False)
 
     max_b = 5 if cfg.laptop else None
 
-    def validate(params_dev, epoch):
-        fwd = functools.partial(eval_fwd, params_dev)
-        logs = validate_tv(fwd, valid_dl, max_batches=max_b)
-        logs["val_ctc_seq_per"] = ctc_seq_per(fwd, valid_dl, max_b,
-                                              log_fn=print)
-        return logs
+    def make_validate(fwd_eval, allow_fallback):
+        streak = {"n": 0}
+
+        def validate(params_dev, epoch):
+            fwd = functools.partial(fwd_eval, params_dev)
+            logs = validate_tv(fwd, valid_dl, max_batches=max_b)
+            logs["val_ctc_seq_per"] = ctc_seq_per(fwd, valid_dl, max_b,
+                                                  log_fn=print)
+            # blank-collapse guard (VERDICT r2 weak #4): a collapsed
+            # recognizer makes the greedy in-step decode emit EMPTY
+            # sequences — alignment goes dead (FER 1.0) while training
+            # "runs" normally.  Surface it loudly; optionally fall back to
+            # the in-step beam, which still recovers non-blank paths
+            # (benchmarks/PERF.md round 2, greedy-vs-beam part 2).
+            per = logs["val_ctc_seq_per"]
+            streak["n"] = streak["n"] + 1 if (
+                per >= cfg.collapse_per_threshold) else 0
+            if streak["n"] >= cfg.collapse_patience:
+                print(
+                    f"WARNING: in-step CTC decode collapsed — "
+                    f"val_ctc_seq_per={per:.3f} >= "
+                    f"{cfg.collapse_per_threshold} for {streak['n']} "
+                    "consecutive epochs; the aligner is receiving "
+                    "degenerate phoneme sequences.  Verify the stage-1 PR "
+                    "checkpoint is converged"
+                    + (", falling back to decode_method=beam_host"
+                       if allow_fallback and cfg.collapse_fallback else
+                       " (set --collapse_fallback to auto-switch to "
+                       "beam_host)")
+                )
+                if allow_fallback and cfg.collapse_fallback:
+                    raise _DecodeCollapse
+            return logs
+
+        return validate
 
     ckpt = CheckpointManager(
         exp_dir / f"best-model-ckpt-{test_spk}", cfg.target_metric,
@@ -138,14 +265,35 @@ def run_speaker(cfg, hprc_df, vocab, test_spk, model, params, model_cfg,
     logger = RunLogger(Path(cfg.exp_dir), "FORCE_APTAI",
                        run_name=f"{cfg.prefix}_{test_spk}",
                        use_wandb=cfg.logging)
-    final_params, history = fit(
-        cfg, None, params, train_dl, validate, ckpt,
-        model_cfg=model_cfg, logger=logger, engine=engine,
-    )
+    fell_back = False
+    can_fall_back = (model.decode_method != "beam_host"
+                     and get_beam_setup is not None)
+    try:
+        final_params, history = fit(
+            cfg, None, params, train_dl, make_validate(eval_fwd, can_fall_back),
+            ckpt, model_cfg=model_cfg, logger=logger, engine=engine,
+        )
+    except _DecodeCollapse:
+        fell_back = True
+        beam_model, beam_eval_fwd, beam_engine = get_beam_setup()
+        print(f"-> resuming fold {test_spk} with decode_method=beam_host "
+              "from the last checkpoint")
+        cfg_resume = dataclasses.replace(cfg, train_from_ckpt=True)
+        beam_dl = BeamDecodedBatches(
+            PrefetchLoader(_loader(train_df, vocab, cfg.batch_size, True,
+                                   cfg.seed)),
+            beam_model, params,
+        )
+        eval_fwd = beam_eval_fwd
+        final_params, history = fit(
+            cfg_resume, None, params, beam_dl,
+            make_validate(beam_eval_fwd, False), ckpt,
+            model_cfg=model_cfg, logger=logger, engine=beam_engine,
+        )
 
     best = jax.device_put(ckpt.restore_best(final_params))
     fwd = functools.partial(eval_fwd, best)
-    results = {}
+    results = {"decode_fallback": int(fell_back)}
     tmax = 1 if cfg.laptop else None
     results.update(test_tv(fwd, test_n_dl, "N", max_batches=tmax))
     results.update(test_tv(fwd, test_f_dl, "F", max_batches=tmax))
@@ -186,6 +334,23 @@ def run(cfg: ForceAPTAIConfig, tiny_backbone=None, speakers=None):
     engine = make_engine(cfg, force_loss_fn(model),
                          frozen_prefixes=("w2v2_pr",))
 
+    _beam_cache = {}
+
+    def get_beam_setup():
+        """Lazily build the beam_host model/eval/engine (once) for the
+        collapse fallback; folds share the compiled step like the primary."""
+        if not _beam_cache:
+            cfg_beam = dataclasses.replace(cfg, decode_method="beam_host")
+            bm, _, _ = build_force_model(
+                cfg_beam, vocab, cfg.pr_model_path, tiny=tiny_backbone
+            )
+            _beam_cache["setup"] = (
+                bm, make_eval_forward(bm),
+                make_engine(cfg, force_loss_fn(bm),
+                            frozen_prefixes=("w2v2_pr",)),
+            )
+        return _beam_cache["setup"]
+
     per_speaker = []
     for fold, test_spk in enumerate(speakers):
         print(f"=== LOSO fold: held-out speaker {test_spk} ===")
@@ -196,7 +361,8 @@ def run(cfg: ForceAPTAIConfig, tiny_backbone=None, speakers=None):
             )
         per_speaker.append(
             run_speaker(cfg, hprc_df, vocab, test_spk, model, params,
-                        model_cfg, eval_fwd, engine)
+                        model_cfg, eval_fwd, engine,
+                        get_beam_setup=get_beam_setup)
         )
     mean, std = aggregate_mean_std(per_speaker)
     dict_to_csv(mean, exp_dir / "loso_mean.csv")
