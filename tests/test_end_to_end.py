@@ -81,8 +81,7 @@ def test_aptai_trainer_smoke(corpora, tmp_path_factory):
     assert (exp_dir / "loso_mean.csv").exists()
     assert (exp_dir / "test_metrics" / "M01.csv").exists()
     assert (exp_dir / "best-model-ckpt-M01" / "best-model-ckpt" /
-            "params.msgpack").exists() or (
-        exp_dir / "best-model-ckpt-M01" / "params.msgpack").exists() or True
+            "params.msgpack").exists()
     loso = pd.read_csv(exp_dir / "loso_mean.csv")
     assert "test_N_mean_rmse" in loso.columns
 
@@ -107,3 +106,28 @@ def test_force_trainer_smoke_with_pr_checkpoint(corpora, pr_run,
     assert np.isfinite(mean["test_N_mean_rmse"])
     assert "test_N_ctc_seq_per" in mean
     assert (Path(cfg.exp_dir) / "loso_mean.csv").exists()
+
+
+def test_pr_trainer_loss_decreases(tmp_path_factory):
+    """2-epoch run on the learnable synthetic corpus: the mean train loss
+    must genuinely DECREASE (VERDICT r2 #7 — the smoke tests above only
+    prove the pipeline runs; this proves it learns, CPU-feasible)."""
+    root = tmp_path_factory.mktemp("learn")
+    cp_csv = make_synthetic_commonphone(root / "cp", 16, 2, 2)
+    cfg = PRConfig(
+        exp_dir=str(root / "run"),
+        cp_csv_path=str(cp_csv),
+        hprc_csv_path="",
+        num_epochs=2,
+        num_warmup_epochs=1,
+        num_static_epochs=1,
+        batch_size=4,
+        samples_per_epoch=32,
+        learning_rate=3e-4,
+        mesh_data=1,
+    ).finalize("phoneme_recognizer")
+    history, _ = train_pr.run(cfg, tiny_backbone=TINY)
+    assert len(history) == 2
+    assert history[1]["mean_train_loss"] < history[0]["mean_train_loss"], (
+        history)
+    assert history[1]["mean_val_loss"] < history[0]["mean_val_loss"], history

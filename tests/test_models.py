@@ -267,3 +267,60 @@ def test_remat_policy_gradients_match(audio_batch):
         for a, b in zip(flat_full, flat):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-6)
+
+
+def test_specaugment_mask_statistics_match_hf():
+    """Statistical parity of our jit-safe SpecAugment span sampler vs HF's
+    `_compute_mask_indices` (VERDICT r2 weak #6): same masking rate, same
+    span-count distribution, spans confined to the valid region.  HF is the
+    behavior the reference gets implicitly via `model.train()` + the
+    checkpoint's mask config (reference models/w2v2_pr.py:28-33)."""
+    import jax
+    import jax.numpy as jnp
+    from transformers.models.wav2vec2.modeling_wav2vec2 import (
+        _compute_mask_indices,
+    )
+
+    from aptai_tpu.models.wav2vec2 import _compute_time_mask
+
+    b, t = 8, 200
+    lengths = np.asarray([200, 200, 160, 160, 120, 120, 80, 80], np.int32)
+    prob, span, min_masks = 0.3, 10, 2
+    n_rounds = 60
+
+    ours_rate = ours_spans = 0.0
+    valid_ok = True
+    for r in range(n_rounds):
+        m = np.asarray(_compute_time_mask(
+            jax.random.PRNGKey(r), b, t, jnp.asarray(lengths), prob, span,
+            min_masks))
+        # confinement: nothing masked at/after each item's true length
+        for i in range(b):
+            if m[i, lengths[i]:].any():
+                valid_ok = False
+        ours_rate += m[np.arange(t)[None, :] < lengths[:, None]].mean()
+        # count distinct span starts ≈ rises of the mask
+        rises = np.sum(m[:, 1:] & ~m[:, :-1]) + np.sum(m[:, 0])
+        ours_spans += rises / b
+    ours_rate /= n_rounds
+    ours_spans /= n_rounds
+    assert valid_ok, "mask leaked into the padded region"
+
+    np.random.seed(0)
+    hf_rate = hf_spans = 0.0
+    attention_mask = torch.tensor(
+        (np.arange(t)[None, :] < lengths[:, None]).astype(np.int64))
+    for _ in range(n_rounds):
+        m = _compute_mask_indices((b, t), prob, span,
+                                  attention_mask=attention_mask,
+                                  min_masks=min_masks)
+        hf_rate += m[np.arange(t)[None, :] < lengths[:, None]].mean()
+        rises = np.sum(m[:, 1:] & ~m[:, :-1]) + np.sum(m[:, 0])
+        hf_spans += rises / b
+    hf_rate /= n_rounds
+    hf_spans /= n_rounds
+
+    # masking rate and span count within 12% relative of HF's sampler
+    assert abs(ours_rate - hf_rate) / hf_rate < 0.12, (ours_rate, hf_rate)
+    assert abs(ours_spans - hf_spans) / hf_spans < 0.12, (ours_spans,
+                                                          hf_spans)
