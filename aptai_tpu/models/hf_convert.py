@@ -169,6 +169,93 @@ def convert_w2v2_pr(state_dict: Mapping, num_hidden_layers: int) -> Dict:
     return params
 
 
+def export_wav2vec2_encoder(
+    params: Mapping,
+    num_hidden_layers: int,
+    prefix: str = "",
+    weight_norm_naming: str = "legacy",
+) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`convert_wav2vec2_encoder`: aptai_tpu encoder params
+    → an HF ``Wav2Vec2Model`` state_dict (numpy).  Lets a checkpoint trained
+    by this framework be loaded into the reference's torch stack for
+    independent verification (scripts/parity_vs_reference.py).
+
+    ``weight_norm_naming``: "legacy" emits ``weight_g``/``weight_v`` for the
+    weight-normalized positional conv; "parametrizations" emits the
+    torch ≥ 2.1 ``parametrizations.weight.original{0,1}`` names.
+    """
+    sd: Dict[str, np.ndarray] = {}
+
+    def put_conv(key, w):
+        sd[key] = np.asarray(w).transpose(2, 1, 0)
+
+    def put_linear(base, leaf):
+        sd[f"{base}.weight"] = np.asarray(leaf["kernel"]).T
+        sd[f"{base}.bias"] = np.asarray(leaf["bias"])
+
+    def put_ln(base, leaf):
+        sd[f"{base}.weight"] = np.asarray(leaf["scale"])
+        sd[f"{base}.bias"] = np.asarray(leaf["bias"])
+
+    fe = params["feature_extractor"]
+    for i in range(len(fe)):
+        layer = fe[f"layers_{i}"]
+        put_conv(f"feature_extractor.conv_layers.{i}.conv.weight",
+                 layer["conv"]["kernel"])
+        if "bias" in layer["conv"]:
+            sd[f"feature_extractor.conv_layers.{i}.conv.bias"] = np.asarray(
+                layer["conv"]["bias"])
+        put_ln(f"feature_extractor.conv_layers.{i}.layer_norm",
+               layer["layer_norm"])
+
+    put_ln("feature_projection.layer_norm",
+           params["feature_projection"]["layer_norm"])
+    put_linear("feature_projection.projection",
+               params["feature_projection"]["projection"])
+    if "masked_spec_embed" in params:
+        sd["masked_spec_embed"] = np.asarray(params["masked_spec_embed"])
+
+    pc = "encoder.pos_conv_embed.conv"
+    g = np.asarray(params["pos_conv_embed"]["weight_g"]).transpose(2, 1, 0)
+    v = np.asarray(params["pos_conv_embed"]["weight_v"]).transpose(2, 1, 0)
+    if weight_norm_naming == "legacy":
+        sd[f"{pc}.weight_g"], sd[f"{pc}.weight_v"] = g, v
+    else:
+        sd[f"{pc}.parametrizations.weight.original0"] = g
+        sd[f"{pc}.parametrizations.weight.original1"] = v
+    sd[f"{pc}.bias"] = np.asarray(params["pos_conv_embed"]["bias"])
+
+    for i in range(num_hidden_layers):
+        p = f"encoder.layers.{i}"
+        layer = params[f"layers_{i}"]
+        put_ln(f"{p}.layer_norm", layer["layer_norm"])
+        put_ln(f"{p}.final_layer_norm", layer["final_layer_norm"])
+        for name in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            put_linear(f"{p}.attention.{name}", layer["attention"][name])
+        put_linear(f"{p}.feed_forward.intermediate_dense",
+                   layer["feed_forward"]["intermediate_dense"])
+        put_linear(f"{p}.feed_forward.output_dense",
+                   layer["feed_forward"]["output_dense"])
+
+    put_ln("encoder.layer_norm", params["layer_norm"])
+    if prefix:
+        sd = {prefix + k: v for k, v in sd.items()}
+    return sd
+
+
+def export_w2v2_pr(params: Mapping, num_hidden_layers: int,
+                   weight_norm_naming: str = "legacy") -> Dict[str, np.ndarray]:
+    """Inverse of :func:`convert_w2v2_pr`: W2V2PR params → the reference's
+    ``Wav2Vec2_PR`` state_dict layout (``wav2vec2.*`` backbone +
+    ``pr_head.*``, reference models/w2v2_pr.py:28-36)."""
+    sd = export_wav2vec2_encoder(params["encoder"], num_hidden_layers,
+                                 prefix="wav2vec2.",
+                                 weight_norm_naming=weight_norm_naming)
+    sd["pr_head.weight"] = np.asarray(params["pr_head"]["kernel"]).T
+    sd["pr_head.bias"] = np.asarray(params["pr_head"]["bias"])
+    return sd
+
+
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     """Load a torch ``.bin``/``.pt`` state_dict into numpy (CPU, no grad)."""
     import torch
