@@ -76,7 +76,12 @@ def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale,
     """
     base = pl.program_id(0) * group
 
-    q = q_ref[:].astype(jnp.float32) * scale         # (G, BQ, D)
+    # MXU dots run in the INPUT dtype (bf16 on the model path) with f32
+    # accumulation: the activations are already bf16-rounded, so upcasting
+    # them to f32 first gains no precision — it only halves MXU throughput.
+    # f32 inputs (CPU parity tests) keep full-precision dots.
+    q = q_ref[:]                                     # (G, BQ, D)
+    in_dtype = q.dtype
     g_dim, bq, d = q.shape
     num_k_blocks = t_padded // k_block
 
@@ -90,12 +95,12 @@ def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale,
 
     def body(i, carry):
         m, l, acc = carry
-        kb = k_ref[:, pl.ds(i * k_block, k_block), :].astype(jnp.float32)
-        vb = v_ref[:, pl.ds(i * k_block, k_block), :].astype(jnp.float32)
+        kb = k_ref[:, pl.ds(i * k_block, k_block), :]
+        vb = v_ref[:, pl.ds(i * k_block, k_block), :]
         s = jax.lax.dot_general(
             q, kb, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )  # (G, BQ, BK)
+        ) * scale  # (G, BQ, BK) f32; scale applied post-dot in f32
         col = i * k_block + jax.lax.broadcasted_iota(
             jnp.int32, (g_dim, bq, k_block), 2
         )
@@ -105,7 +110,7 @@ def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale,
         alpha = jnp.exp(m - m_new)
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
-            p, vb, (((2,), (1,)), ((0,), (0,))),
+            p.astype(in_dtype), vb, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
         return m_new, l, acc
@@ -172,8 +177,9 @@ def _flash_bwd_dq_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     base = pl.program_id(0) * group
     length = len_ref[base]
 
-    q = q_ref[:].astype(jnp.float32)                  # (G, BQ, D)
-    do = do_ref[:].astype(jnp.float32)                # (G, BQ, D)
+    q = q_ref[:]                                      # (G, BQ, D)
+    do = do_ref[:]                                    # (G, BQ, D)
+    in_dtype = q.dtype
     # stats arrive broadcast over LSE_LANES; reduce back to (G, BQ, 1)
     lse = jnp.max(lse_ref[:], axis=-1, keepdims=True)
     delta = jnp.max(delta_ref[:], axis=-1, keepdims=True)
@@ -181,8 +187,8 @@ def _flash_bwd_dq_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     num_k_blocks = t_padded // k_block
 
     def body(i, dq):
-        kb = k_ref[:, pl.ds(i * k_block, k_block), :].astype(jnp.float32)
-        vb = v_ref[:, pl.ds(i * k_block, k_block), :].astype(jnp.float32)
+        kb = k_ref[:, pl.ds(i * k_block, k_block), :]
+        vb = v_ref[:, pl.ds(i * k_block, k_block), :]
         s = jax.lax.dot_general(
             q, kb, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -195,7 +201,7 @@ def _flash_bwd_dq_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
             do, vb, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )                                             # (G, BQ, BK)
-        ds = p * (dp - delta)
+        ds = (p * (dp - delta)).astype(in_dtype)
         return dq + jax.lax.dot_general(
             ds, kb, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -217,8 +223,9 @@ def _flash_bwd_dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     base = pl.program_id(0) * group
     length = len_ref[base]
 
-    kb = k_ref[:].astype(jnp.float32)                 # (G, BK, D)
-    vb = v_ref[:].astype(jnp.float32)                 # (G, BK, D)
+    kb = k_ref[:]                                     # (G, BK, D)
+    vb = v_ref[:]                                     # (G, BK, D)
+    in_dtype = kb.dtype
     g_dim, bk, d = kb.shape
     j = pl.program_id(1)
     col = j * bk + jax.lax.broadcasted_iota(jnp.int32, (g_dim, 1, bk), 2)
@@ -227,8 +234,8 @@ def _flash_bwd_dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
 
     def body(i, carry):
         dk, dv = carry
-        qb = q_ref[:, pl.ds(i * q_step, q_step), :].astype(jnp.float32)
-        dob = do_ref[:, pl.ds(i * q_step, q_step), :].astype(jnp.float32)
+        qb = q_ref[:, pl.ds(i * q_step, q_step), :]
+        dob = do_ref[:, pl.ds(i * q_step, q_step), :]
         lse = jnp.max(lse_ref[:, pl.ds(i * q_step, q_step), :],
                       axis=-1, keepdims=True)
         delta = jnp.max(delta_ref[:, pl.ds(i * q_step, q_step), :],
@@ -238,16 +245,17 @@ def _flash_bwd_dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
             preferred_element_type=jnp.float32,
         ) * scale                                     # (G, BQ, BK)
         p = jnp.where(col_valid, jnp.exp(s - lse), 0.0)
+        p_lo = p.astype(in_dtype)
         # dv += pᵀ · dO   (contract over the BQ dim)
         dv = dv + jax.lax.dot_general(
-            p, dob, (((1,), (1,)), ((0,), (0,))),
+            p_lo, dob, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
         dp = jax.lax.dot_general(
             dob, vb, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )                                             # (G, BQ, BK)
-        ds = p * (dp - delta)
+        ds = (p * (dp - delta)).astype(in_dtype)
         dk = dk + jax.lax.dot_general(
             ds, qb, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
