@@ -65,6 +65,17 @@ class Wav2Vec2Config:
     # numerics
     layer_norm_eps: float = 1e-5
     dtype: str = "float32"  # compute dtype: "float32" | "bfloat16"
+    # GELU evaluation: "auto" uses the hardware-tanh approximation when the
+    # compute dtype is bfloat16 and the exact erf form in float32.
+    # Rationale (measured, benchmarks/PERF.md round 3): the erf polynomial
+    # costs ~1.1 ms/layer of pure VPU time at the inference shape — 26.8 ms
+    # over the 24-layer stack — while tanh is a hardware transcendental
+    # (~0.09 ms/layer); the approximation's ≤3e-3 deviation sits at the
+    # bf16 activation-rounding scale, so on the bf16 path it is numerically
+    # free (quality-tested in tests/test_models.py).  Float32 (the parity/
+    # conversion-fidelity path) keeps exact erf.  Override with "exact" /
+    # "tanh".
+    gelu: str = "auto"
     # training-time gradient checkpointing granularity (models/wav2vec2.py):
     # "none" (no remat — fastest; the blessed training shapes fit HBM with
     # room to spare: 74.6 vs 80.1 ms/step, benchmarks/PERF.md round 2),

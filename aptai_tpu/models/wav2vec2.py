@@ -39,9 +39,17 @@ from aptai_tpu.ops.attention import (multi_head_attention,
                                      multi_head_attention_bhtd)
 
 
-def _gelu(x):
-    """Exact (erf) GELU — HF 'gelu'; flax's default is the tanh approximation."""
-    return jax.nn.gelu(x, approximate=False)
+def _gelu(x, cfg: Optional[Wav2Vec2Config] = None):
+    """GELU per the config's ``gelu`` mode (see configs.py): exact erf — the
+    HF 'gelu' act — in f32/parity mode; the hardware-tanh approximation on
+    the bf16 path, where its ≤3e-3 deviation is below activation rounding
+    and the erf polynomial's VPU cost is the single largest non-GEMM term
+    in the encoder (measured: 26.8 ms/24-layer stack at the inference
+    shape — benchmarks/PERF.md round 3)."""
+    mode = getattr(cfg, "gelu", "exact") if cfg is not None else "exact"
+    if mode == "auto":
+        mode = "tanh" if cfg.dtype == "bfloat16" else "exact"
+    return jax.nn.gelu(x, approximate=(mode == "tanh"))
 
 
 def _compute_dtype(cfg: Wav2Vec2Config):
@@ -197,7 +205,7 @@ class ConvLayerBlock(nn.Module):
         if self.cfg.feat_extract_norm == "layer":
             x = nn.LayerNorm(epsilon=self.cfg.layer_norm_eps, dtype=dtype,
                              name="layer_norm")(x)
-        return _gelu(x)
+        return _gelu(x, self.cfg)
 
 
 class FeatureExtractor(nn.Module):
@@ -273,7 +281,7 @@ class PositionalConvEmbedding(nn.Module):
         # HF SamePadLayer: drop the trailing element for even kernels
         if k % 2 == 0:
             h = h[:, :t]
-        return _gelu(h)
+        return _gelu(h, self.cfg)
 
 
 class HeadProjBHTD(nn.Module):
@@ -376,7 +384,7 @@ class FeedForward(nn.Module):
         dtype = _compute_dtype(cfg)
         h = nn.Dense(cfg.intermediate_size, dtype=dtype,
                      name="intermediate_dense")(x)
-        h = _gelu(h)
+        h = _gelu(h, cfg)
         h = nn.Dropout(cfg.activation_dropout)(h, deterministic=deterministic)
         h = nn.Dense(cfg.hidden_size, dtype=dtype, name="output_dense")(h)
         return nn.Dropout(cfg.hidden_dropout)(h, deterministic=deterministic)
