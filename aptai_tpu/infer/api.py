@@ -44,7 +44,21 @@ def _batch_bucket(n: int) -> int:
     return 1 << max(0, (n - 1)).bit_length()
 
 
-def _prepare(wavs: Sequence[np.ndarray]):
+def quantize_i16(audio: np.ndarray) -> np.ndarray:
+    """float waveform → int16 for the host→device transfer (half the
+    bytes).  Lossless for audio decoded from 16-bit PCM (the universal
+    case: the reference corpora are 16-bit wavs and ``load_wav_16k``
+    divides by 32768) — ``round(f · 32768)`` recovers the original sample
+    exactly; :func:`dequantize_i16` inverts it on device."""
+    return np.clip(np.rint(np.asarray(audio, np.float64) * 32768.0),
+                   -32768, 32767).astype(np.int16)
+
+
+def dequantize_i16(audio):
+    return audio.astype(jnp.float32) * (1.0 / 32768.0)
+
+
+def _prepare(wavs: Sequence[np.ndarray], transfer_dtype: str = "float32"):
     lengths = np.asarray([len(w) for w in wavs], np.int32)
     width = _bucket(int(lengths.max()))
     rows = _batch_bucket(len(wavs))
@@ -57,6 +71,8 @@ def _prepare(wavs: Sequence[np.ndarray]):
     lengths = np.concatenate(
         [lengths, np.full(rows - len(wavs), width, np.int32)]
     )
+    if transfer_dtype == "int16":
+        audio = quantize_i16(audio)
     return jnp.asarray(audio), jnp.asarray(lengths)
 
 
@@ -85,12 +101,17 @@ def _decode_with_times(log_probs: np.ndarray):
 
 
 class APTAIPredictor:
-    def __init__(self, model, params, mesh=None):
+    def __init__(self, model, params, mesh=None,
+                 transfer_dtype: str = "float32"):
         """``mesh``: optional ``jax.sharding.Mesh`` — batches shard over the
         data axis and tensor-parallel parameters over the model axis
-        (multi-chip serving; single-chip when None)."""
+        (multi-chip serving; single-chip when None).  ``transfer_dtype``:
+        "int16" halves the host→device audio upload (lossless for 16-bit
+        PCM sources — see :func:`quantize_i16`); the upload is the dominant
+        serving cost on a slow link (benchmarks/PERF.md round 3)."""
         self.model = model
         self.mesh = mesh
+        self.transfer_dtype = transfer_dtype
         if mesh is not None:
             from aptai_tpu.parallel import shard_tree
 
@@ -109,7 +130,7 @@ class APTAIPredictor:
         every fetched byte rides a ~30 ms-RTT link — the per-request
         marshaling shrinks to what the caller actually consumes."""
         fwd = self._fwd_for(fields)
-        audio, lengths = _prepare(wavs)
+        audio, lengths = _prepare(wavs, self.transfer_dtype)
         if self.mesh is not None:
             from aptai_tpu.parallel import shard_batch
 
@@ -141,15 +162,19 @@ def _selective_jit(model, method: str):
     """Per-``fields`` cache of jitted forwards returning only those outputs
     (+frame_lengths) — see :meth:`APTAIPredictor._fwd_for`.
 
-    Unknown field names raise ``ValueError`` at trace time (the first call
-    with that ``fields`` tuple) instead of surfacing as a distant KeyError
-    in the caller."""
+    int16 audio (the reduced-bytes transfer encoding, see
+    :func:`quantize_i16`) is dequantized on device.  Unknown field names
+    raise ``ValueError`` at trace time (the first call with that
+    ``fields`` tuple) instead of surfacing as a distant KeyError in the
+    caller."""
     cache: Dict = {}
 
     def get(fields):
         key = None if fields is None else tuple(fields)
         if key not in cache:
             def fwd(p, a, l):
+                if a.dtype == jnp.int16:
+                    a = dequantize_i16(a)
                 out = model.apply({"params": p}, a, l, method=method)
                 if key is None:
                     return out
@@ -170,9 +195,10 @@ def _selective_jit(model, method: str):
 
 
 class ForceAPTAIPredictor:
-    def __init__(self, model, params):
+    def __init__(self, model, params, transfer_dtype: str = "float32"):
         self.model = model
         self.params = params
+        self.transfer_dtype = transfer_dtype
         self._fwd_for = _selective_jit(model, "predict")
         self._align = jax.jit(
             lambda p, a, l: model.apply({"params": p}, a, l,
@@ -183,7 +209,7 @@ class ForceAPTAIPredictor:
                       fields: Optional[Sequence[str]] = None) -> Dict:
         """Batched forward; leading dim of every output is ``len(wavs)``
         (bucketing pad rows sliced off device-side)."""
-        audio, lengths = _prepare(wavs)
+        audio, lengths = _prepare(wavs, self.transfer_dtype)
         out = self._fwd_for(fields)(self.params, audio, lengths)
         return _strip_pad_rows(out, len(wavs))
 
@@ -213,17 +239,19 @@ class ForceAPTAIPredictor:
 
 
 class W2V2PRPredictor:
-    def __init__(self, model, params, vocab: Optional[Dict[str, int]] = None):
+    def __init__(self, model, params, vocab: Optional[Dict[str, int]] = None,
+                 transfer_dtype: str = "float32"):
         self.model = model
         self.params = params
         self.vocab = vocab
+        self.transfer_dtype = transfer_dtype
         self._encode_for = _selective_jit(model, "encode")
 
     def encode_batch(self, wavs: Sequence[np.ndarray],
                      fields: Optional[Sequence[str]] = None) -> Dict:
         """Batched encode; leading dim of every output is ``len(wavs)``
         (bucketing pad rows sliced off device-side)."""
-        audio, lengths = _prepare(wavs)
+        audio, lengths = _prepare(wavs, self.transfer_dtype)
         out = self._encode_for(fields)(self.params, audio, lengths)
         return _strip_pad_rows(out, len(wavs))
 

@@ -27,6 +27,7 @@ from __future__ import annotations
 from typing import Dict, List, Sequence, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from aptai_tpu import FRAME_RATE_HZ, SAMPLE_RATE, TV_ORDER
@@ -41,12 +42,19 @@ class StreamingPredictor:
     def __init__(self, model, params, chunk_seconds: float = 20.0,
                  overlap_seconds: float = 2.0, mesh=None,
                  chunk_batch: int = 1,
-                 frame_keys: Sequence[str] | None = None):
+                 frame_keys: Sequence[str] | None = None,
+                 fetch_workers: int = 2,
+                 transfer_dtype: str = "float32"):
         """``mesh`` + ``chunk_batch`` > 1 enable *sequence parallelism for a
         single long recording*: consecutive chunks are batched and the batch
         axis shards over the mesh's data axis, so one hour-long file spreads
         across chips (the chunks are independent given the overlap context,
-        so no cross-chip attention is needed)."""
+        so no cross-chip attention is needed).
+
+        ``transfer_dtype="int16"`` halves the host→device audio upload
+        (lossless for 16-bit PCM sources — infer/api.py:quantize_i16); on a
+        slow link the *input upload* — tens of MB for long recordings — is
+        the dominant streaming cost (benchmarks/PERF.md round 3)."""
         if overlap_seconds >= chunk_seconds:
             raise ValueError("overlap must be smaller than the chunk")
         self.model = model
@@ -58,6 +66,8 @@ class StreamingPredictor:
 
             params = shard_tree(mesh, params)
         self.params = params
+        self.fetch_workers = max(int(fetch_workers), 1)
+        self.transfer_dtype = transfer_dtype
         self.chunk_batch = max(int(chunk_batch), 1)
         self.chunk = int(chunk_seconds * SAMPLE_RATE)
         self.overlap = int(overlap_seconds * SAMPLE_RATE)
@@ -67,14 +77,33 @@ class StreamingPredictor:
         # hop must be a frame-hop multiple for exact frame tiling
         self.hop = ((self.chunk - self.overlap) // frame_hop) * frame_hop
         keep = set(self.frame_keys) | {"frame_lengths"}
+        g = self.chunk_batch
+        # each group uploads ONE contiguous window — consecutive chunks
+        # overlap by `overlap` samples, so the per-chunk layout would
+        # re-upload that region; the device re-slices the window into the
+        # (g, chunk) stack with static offsets instead
+        self.window = (g - 1) * self.hop + self.chunk
 
-        def fwd(p, a, l):
+        def fwd_window(p, win, l):
+            from aptai_tpu.infer.api import dequantize_i16
+
+            if win.dtype == jnp.int16:
+                win = dequantize_i16(win)
+            a = jnp.stack([
+                jax.lax.dynamic_slice(win, (i * self.hop,), (self.chunk,))
+                for i in range(g)
+            ])
+            out = model.apply({"params": p}, a, l, method="predict")
             # only the stitched keys leave the device: XLA dead-code
             # -eliminates the unused heads and the tunnel marshals only
             # what the stitcher consumes
+            return {k: v for k, v in out.items() if k in keep}
+
+        def fwd(p, a, l):
             out = model.apply({"params": p}, a, l, method="predict")
             return {k: v for k, v in out.items() if k in keep}
 
+        self._fwd_window = jax.jit(fwd_window)
         self._fwd = jax.jit(fwd)
 
     def _run_chunks(self, padded: np.ndarray, lens: np.ndarray):
@@ -102,11 +131,12 @@ class StreamingPredictor:
         (same keys as the model's ``predict``, but unbounded duration)."""
         wav = np.asarray(wav, np.float32)
         if len(wav) <= self.chunk:
-            chunks = [wav]
             starts = [0]
         else:
             starts = list(range(0, len(wav) - self.overlap, self.hop))
-            chunks = [wav[s : s + self.chunk] for s in starts]
+        n_chunks = len(starts)
+        lens = np.asarray(
+            [min(self.chunk, len(wav) - s) for s in starts], np.int32)
 
         parts: Dict[str, List[np.ndarray]] = {k: [] for k in self.frame_keys}
 
@@ -119,28 +149,65 @@ class StreamingPredictor:
         half_ov_frames = self._frames_for(self.overlap) // 2
         prev_end_abs = 0
 
-        # stack chunks and forward them chunk_batch at a time (the batch axis
-        # is the sequence-parallel axis when a mesh is configured)
-        n_chunks = len(chunks)
-        padded = np.zeros((n_chunks, self.chunk), np.float32)
-        lens = np.zeros((n_chunks,), np.int32)
-        for i, chunk in enumerate(chunks):
-            padded[i, : len(chunk)] = chunk
-            lens[i] = len(chunk)
+        # Two-phase pipeline: dispatch EVERY chunk group first (jax dispatch
+        # is async/lazy — near-free), then fetch the groups through a small
+        # thread pool (the fetch is what triggers and waits on execution on
+        # the tunnel; >2 concurrent fetches contend — measured).
+        g = self.chunk_batch
+        n_groups = (n_chunks + g - 1) // g
+        device_outs = []
+        group_sizes = [min(g, n_chunks - i * g) for i in range(n_groups)]
+
+        if self.mesh is None:
+            # Window path: each group uploads ONE contiguous window (the
+            # per-chunk stack would re-upload every overlap region) and the
+            # device re-slices it into (g, chunk) with static offsets; the
+            # trailing slots of a partial last group slice zero padding and
+            # their outputs are discarded.  With transfer_dtype="int16" the
+            # upload — the dominant long-audio cost — halves again.
+            total = (n_groups - 1) * g * self.hop + self.window
+            flat = np.zeros(total, np.float32)
+            flat[: len(wav)] = wav[:total]
+            if self.transfer_dtype == "int16":
+                from aptai_tpu.infer.api import quantize_i16
+
+                flat = quantize_i16(flat)
+            for i in range(n_groups):
+                w0 = i * g * self.hop
+                lens_g = np.full((g,), self.chunk, np.int32)
+                take = group_sizes[i]
+                lens_g[:take] = lens[i * g : i * g + take]
+                device_outs.append(self._fwd_window(
+                    self.params, jnp.asarray(flat[w0 : w0 + self.window]),
+                    jnp.asarray(lens_g)))
+        else:
+            padded = np.zeros((n_chunks, self.chunk), np.float32)
+            for i, s in enumerate(starts):
+                padded[i, : lens[i]] = wav[s : s + lens[i]]
+            for i0 in range(0, n_chunks, g):
+                grp = slice(i0, min(i0 + g, n_chunks))
+                p, l = padded[grp], lens[grp]
+                if len(l) < g and g > 1:  # keep the compiled shape static
+                    reps = g - len(l)
+                    p = np.concatenate([p, np.repeat(p[-1:], reps, axis=0)])
+                    l = np.concatenate([l, np.repeat(l[-1:], reps)])
+                device_outs.append(self._run_chunks(p, l))
+
+        def fetch(out):
+            return {k: np.asarray(out[k]) for k in self.frame_keys}
+
+        if len(device_outs) > 1 and self.fetch_workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(self.fetch_workers) as pool:
+                fetched = list(pool.map(fetch, device_outs))
+        else:
+            fetched = [fetch(o) for o in device_outs]
 
         outs = []
-        g = self.chunk_batch
-        for i0 in range(0, n_chunks, g):
-            grp = slice(i0, min(i0 + g, n_chunks))
-            p, l = padded[grp], lens[grp]
-            if len(l) < g and g > 1:  # keep the compiled shape static
-                reps = g - len(l)
-                p = np.concatenate([p, np.repeat(p[-1:], reps, axis=0)])
-                l = np.concatenate([l, np.repeat(l[-1:], reps)])
-            out = self._run_chunks(p, l)
-            for j in range(grp.stop - grp.start):
-                outs.append({k: np.asarray(out[k])[j]
-                             for k in self.frame_keys})
+        for size, out in zip(group_sizes, fetched):
+            for j in range(size):
+                outs.append({k: out[k][j] for k in self.frame_keys})
 
         for i, (s, out) in enumerate(zip(starts, outs)):
             t = self._frames_for(int(lens[i]))
@@ -167,18 +234,26 @@ def model_cfg_strides(model):
 
 
 class StreamingAPTAI(StreamingPredictor):
-    """Streaming APTAI: stitched TV trajectories + frame phonemes + probs."""
+    """Streaming APTAI: stitched TV trajectories + frame phonemes.
 
-    frame_keys = ("tvs_pred", "phn_fc_pred", "phn_fc_probs")
+    The per-frame phoneme *probability matrix* is opt-in
+    (``frame_keys=("tvs_pred", "phn_fc_pred", "phn_fc_probs")``): at
+    (T, vocab) float32 it is ~5× the bytes of everything else combined, and
+    on the tunnel the fetch payload — not compute — bounds streaming
+    throughput (benchmarks/PERF.md round 3)."""
+
+    frame_keys = ("tvs_pred", "phn_fc_pred")
 
     def _format(self, stitched):
         tvs_all = stitched["tvs_pred"]
-        return {
+        out = {
             "tvs_pred": {k: tvs_all[:, i] for i, k in enumerate(TV_ORDER)},
             "phn_fc_pred": stitched["phn_fc_pred"],
-            "phn_fc_probs": stitched["phn_fc_probs"],
             "frame_rate_hz": FRAME_RATE_HZ,
         }
+        if "phn_fc_probs" in stitched:
+            out["phn_fc_probs"] = stitched["phn_fc_probs"]
+        return out
 
 
 class StreamingForceAPTAI(StreamingPredictor):

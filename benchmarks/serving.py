@@ -21,6 +21,21 @@ import numpy as np
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fetch_workers", type=int, default=0,
+                    help="0 = library defaults (serving 4, streaming 2 — "
+                         "the measured optima; benchmarks/PERF.md round 3)")
+    ap.add_argument("--chunk_batch", type=int, default=8)
+    ap.add_argument("--transfer_dtype", default="int16",
+                    choices=["float32", "int16"],
+                    help="audio upload encoding (int16 = half the bytes; "
+                         "lossless for 16-bit PCM sources)")
+    ap.add_argument("--skip_serving", action="store_true")
+    ap.add_argument("--skip_streaming", action="store_true")
+    args = ap.parse_args()
+
     sys.path.insert(0, ".")
     from aptai_tpu.utils.jax_setup import enable_compilation_cache
 
@@ -50,51 +65,62 @@ def main():
             ), backend="cpu")(jax.random.PRNGKey(0))
     params = jax.device_put(variables["params"], jax.devices()[0])
 
-    pred = APTAIPredictor(model, params)
+    pred = APTAIPredictor(model, params,
+                          transfer_dtype=args.transfer_dtype)
 
     # ---- micro-batched serving --------------------------------------------
     # field-selective serving: only TVs + frame phonemes leave the chip
     # (XLA drops the unused probs/logits heads; the tunnel marshals ~25×
     # less per request than the full predict dict)
-    import functools
+    if not args.skip_serving:
+        mb_kw = ({"fetch_workers": args.fetch_workers}
+                 if args.fetch_workers else {})
+        mb = MicroBatcher(pred.predict_batch, max_batch_size=16,
+                          max_wait_ms=5.0,
+                          fields=("tvs_pred", "phn_fc_pred"), **mb_kw)
+        mb.warmup(seconds=req_seconds)  # compile the static serving shape
 
-    serve_fn = functools.partial(
-        pred.predict_batch, fields=("tvs_pred", "phn_fc_pred"))
-    mb = MicroBatcher(serve_fn, max_batch_size=16, max_wait_ms=5.0)
-    mb.warmup(seconds=req_seconds)  # compile the one static serving shape
-
-    wavs = [rng.standard_normal(16000 * req_seconds).astype(np.float32) * 0.1
+        wavs = [rng.standard_normal(
+            16000 * req_seconds).astype(np.float32) * 0.1
             for _ in range(n_requests)]
-    mb.start()
-    t0 = time.perf_counter()
-    submit_t = {}
-    futs = []
-    for i, w in enumerate(wavs):
-        submit_t[i] = time.perf_counter()
-        futs.append((i, mb.submit(w)))
-    lat = []
-    for i, f in futs:
-        f.result(timeout=600)
-        lat.append(time.perf_counter() - submit_t[i])
-    wall = time.perf_counter() - t0
-    mb.stop()
-    lat = np.sort(np.asarray(lat))
-    print(json.dumps({
-        "metric": "microbatcher_serving",
-        "requests": n_requests,
-        "audio_seconds_per_request": req_seconds,
-        "latency_p50_ms": round(1000 * float(lat[len(lat) // 2]), 1),
-        "latency_p95_ms": round(1000 * float(lat[int(len(lat) * 0.95)]), 1),
-        "throughput_audio_sec_per_sec": round(
-            n_requests * req_seconds / wall, 2),
-    }))
+        mb.start()
+        t0 = time.perf_counter()
+        submit_t = {}
+        futs = []
+        for i, w in enumerate(wavs):
+            submit_t[i] = time.perf_counter()
+            futs.append((i, mb.submit(w)))
+        lat = []
+        for i, f in futs:
+            f.result(timeout=600)
+            lat.append(time.perf_counter() - submit_t[i])
+        wall = time.perf_counter() - t0
+        mb.stop()
+        lat = np.sort(np.asarray(lat))
+        print(json.dumps({
+            "metric": "microbatcher_serving",
+            "requests": n_requests,
+            "audio_seconds_per_request": req_seconds,
+            "fetch_workers": args.fetch_workers,
+            "latency_p50_ms": round(1000 * float(lat[len(lat) // 2]), 1),
+            "latency_p95_ms": round(
+                1000 * float(lat[int(len(lat) * 0.95)]), 1),
+            "throughput_audio_sec_per_sec": round(
+                n_requests * req_seconds / wall, 2),
+        }))
+    if args.skip_streaming:
+        return
 
     # ---- streaming RTF -----------------------------------------------------
     # chunk_batch=8: batch 8 chunks per device forward (the chunks of one
     # long recording are independent — sequence parallelism over the time
     # axis); chunk_batch=1 is the latency-optimized live configuration
+    st_kw = ({"fetch_workers": args.fetch_workers}
+             if args.fetch_workers else {})
     stream = StreamingAPTAI(model, params, chunk_seconds=20.0,
-                            overlap_seconds=2.0, chunk_batch=8)
+                            overlap_seconds=2.0,
+                            chunk_batch=args.chunk_batch,
+                            transfer_dtype=args.transfer_dtype, **st_kw)
     samples = int(16000 * 60 * stream_minutes)
     wav = (rng.standard_normal(samples) * 0.1).astype(np.float32)
     _ = stream.predict(wav[: stream.chunk + stream.hop])  # compile
@@ -104,6 +130,9 @@ def main():
     print(json.dumps({
         "metric": "streaming_rtf",
         "audio_minutes": stream_minutes,
+        "chunk_batch": args.chunk_batch,
+        "fetch_workers": args.fetch_workers,
+        "transfer_dtype": args.transfer_dtype,
         "value": round(samples / 16000 / dt, 2),
         "unit": "audio_sec/sec/chip",
         "frames": int(len(out["phn_fc_pred"])),

@@ -344,3 +344,48 @@ def test_predict_batch_unknown_field_raises(models, rng):
     wav = [rng.standard_normal(3200).astype(np.float32)]
     with pytest.raises(ValueError, match="tvs_predd"):
         pred.predict_batch(wav, fields=("tvs_predd",))
+
+
+def test_micro_batcher_fields_kwarg(models, rng):
+    """fields= on the MicroBatcher itself (the serving default) restricts
+    outputs like a partial over predict_batch does."""
+    from aptai_tpu.infer import MicroBatcher
+
+    (aptai, ap), _, _ = models
+    pred = APTAIPredictor(aptai, ap)
+    wavs = [rng.standard_normal(4000).astype(np.float32)]
+    res = MicroBatcher(pred.predict_batch, max_batch_size=2,
+                       fields=("tvs_pred",)).run_batch(wavs)[0]
+    assert "tvs_pred" in res and "frame_lengths" in res
+    assert "phn_fc_probs" not in res
+
+
+def test_int16_transfer_lossless_for_pcm_audio(models, rng):
+    """transfer_dtype="int16" halves the host→device upload; for audio on
+    the 16-bit PCM grid (every real corpus file) the round trip is exact,
+    so predictions are bit-identical to the float32 transfer."""
+    (aptai, ap), _, _ = models
+    # audio ON the int16 grid, like anything decoded from a PCM wav
+    pcm = rng.integers(-32768, 32768, size=4000).astype(np.int16)
+    wav = pcm.astype(np.float32) / 32768.0
+
+    f32 = APTAIPredictor(aptai, ap).predict_batch([wav])
+    i16 = APTAIPredictor(aptai, ap,
+                         transfer_dtype="int16").predict_batch([wav])
+    for k in f32:
+        np.testing.assert_array_equal(np.asarray(f32[k]),
+                                      np.asarray(i16[k]), err_msg=k)
+
+
+def test_streaming_int16_matches_f32(models, rng):
+    from aptai_tpu.infer import StreamingAPTAI
+
+    (aptai, ap), _, _ = models
+    pcm = rng.integers(-2000, 2000, size=16000 * 3).astype(np.int16)
+    wav = pcm.astype(np.float32) / 32768.0
+    kw = dict(chunk_seconds=1.0, overlap_seconds=0.2, chunk_batch=2)
+    a = StreamingAPTAI(aptai, ap, **kw).predict(wav)
+    b = StreamingAPTAI(aptai, ap, transfer_dtype="int16", **kw).predict(wav)
+    np.testing.assert_array_equal(a["phn_fc_pred"], b["phn_fc_pred"])
+    for k in a["tvs_pred"]:
+        np.testing.assert_array_equal(a["tvs_pred"][k], b["tvs_pred"][k])
