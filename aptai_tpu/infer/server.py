@@ -69,11 +69,17 @@ class MicroBatcher:
 
     # -- synchronous core ---------------------------------------------------
 
-    def warmup(self, seconds: float = 2.0, rate: int = 16_000):
-        """Pre-compile the serving shape(s) before taking traffic."""
+    def warmup(self, seconds: float = 2.0, rate: int = 16_000,
+               cycles: int = 2):
+        """Pre-compile the serving shape(s) before taking traffic.
+
+        Two cycles by default: the first run after a compile still pays
+        one-time executable/transfer-path initialization (measured: the
+        first post-compile burst runs ~2× slower than steady state)."""
         wav = np.zeros(int(seconds * rate), np.float32)
-        self.run_batch([wav] * (self.max_batch_size if self.pad_to_max
-                                else 1))
+        for _ in range(max(cycles, 1)):
+            self.run_batch([wav] * (self.max_batch_size if self.pad_to_max
+                                    else 1))
         return self
 
     def _dispatch(self, wavs: Sequence[np.ndarray]) -> Tuple[int, Dict]:

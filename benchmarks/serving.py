@@ -32,6 +32,8 @@ def main():
                     choices=["float32", "int16"],
                     help="audio upload encoding (int16 = half the bytes; "
                          "lossless for 16-bit PCM sources)")
+    ap.add_argument("--stream_reps", type=int, default=3)
+    ap.add_argument("--max_batch", type=int, default=16)
     ap.add_argument("--skip_serving", action="store_true")
     ap.add_argument("--skip_streaming", action="store_true")
     args = ap.parse_args()
@@ -75,7 +77,7 @@ def main():
     if not args.skip_serving:
         mb_kw = ({"fetch_workers": args.fetch_workers}
                  if args.fetch_workers else {})
-        mb = MicroBatcher(pred.predict_batch, max_batch_size=16,
+        mb = MicroBatcher(pred.predict_batch, max_batch_size=args.max_batch,
                           max_wait_ms=5.0,
                           fields=("tvs_pred", "phn_fc_pred"), **mb_kw)
         mb.warmup(seconds=req_seconds)  # compile the static serving shape
@@ -100,6 +102,8 @@ def main():
         print(json.dumps({
             "metric": "microbatcher_serving",
             "requests": n_requests,
+            "max_batch": args.max_batch,
+            "transfer_dtype": args.transfer_dtype,
             "audio_seconds_per_request": req_seconds,
             "fetch_workers": args.fetch_workers,
             "latency_p50_ms": round(1000 * float(lat[len(lat) // 2]), 1),
@@ -124,16 +128,22 @@ def main():
     samples = int(16000 * 60 * stream_minutes)
     wav = (rng.standard_normal(samples) * 0.1).astype(np.float32)
     _ = stream.predict(wav[: stream.chunk + stream.hop])  # compile
-    t0 = time.perf_counter()
-    out = stream.predict(wav)
-    dt = time.perf_counter() - t0
+    # tunnel load varies run to run — repeat and report the distribution
+    times = []
+    for _ in range(args.stream_reps):
+        t0 = time.perf_counter()
+        out = stream.predict(wav)
+        times.append(time.perf_counter() - t0)
+    rtfs = sorted(samples / 16000 / t for t in times)
     print(json.dumps({
         "metric": "streaming_rtf",
         "audio_minutes": stream_minutes,
         "chunk_batch": args.chunk_batch,
         "fetch_workers": args.fetch_workers,
         "transfer_dtype": args.transfer_dtype,
-        "value": round(samples / 16000 / dt, 2),
+        "value": round(rtfs[len(rtfs) // 2], 2),
+        "best": round(rtfs[-1], 2),
+        "all": [round(r, 1) for r in rtfs],
         "unit": "audio_sec/sec/chip",
         "frames": int(len(out["phn_fc_pred"])),
     }))
