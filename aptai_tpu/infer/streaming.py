@@ -238,9 +238,10 @@ class StreamingAPTAI(StreamingPredictor):
 
     The per-frame phoneme *probability matrix* is opt-in
     (``frame_keys=("tvs_pred", "phn_fc_pred", "phn_fc_probs")``): at
-    (T, vocab) float32 it is ~5× the bytes of everything else combined, and
-    on the tunnel the fetch payload — not compute — bounds streaming
-    throughput (benchmarks/PERF.md round 3)."""
+    (T, vocab) float32 it is ~5× the bytes of everything else combined —
+    only fetch it when the service actually consumes it (on a slow link the
+    audio *upload* dominates, but download bytes are never free —
+    benchmarks/PERF.md round 3)."""
 
     frame_keys = ("tvs_pred", "phn_fc_pred")
 

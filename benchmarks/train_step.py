@@ -16,6 +16,14 @@ import numpy as np
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", default=None,
+                    help="comma list of BxS (batch x seconds), e.g. "
+                         "'8x5,32x5'; default: blessed shape only")
+    args = ap.parse_args()
+
     sys.path.insert(0, ".")
     from aptai_tpu.utils.jax_setup import enable_compilation_cache
 
@@ -31,6 +39,9 @@ def main():
     cfg = Wav2Vec2Config(dtype="bfloat16" if backend == "tpu" else "float32")
     model = APTAI(cfg, num_phonemes=46)
     configs = [(8, 5)] if backend == "tpu" else [(2, 1)]
+    if args.configs:
+        configs = [tuple(int(v) for v in c.split("x"))
+                   for c in args.configs.split(",")]
 
     for batch, seconds in configs:
         samples = 16_000 * seconds
