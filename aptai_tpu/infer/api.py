@@ -204,10 +204,13 @@ class ForceAPTAIPredictor:
         self.params = params
         self.transfer_dtype = transfer_dtype
         self._fwd_for = _selective_jit(model, "predict")
-        self._align = jax.jit(
-            lambda p, a, l: model.apply({"params": p}, a, l,
-                                        method="get_alignment")
-        )
+
+        def align(p, a, l):
+            if a.dtype == jnp.int16:
+                a = dequantize_i16(a)
+            return model.apply({"params": p}, a, l, method="get_alignment")
+
+        self._align = jax.jit(align)
 
     def predict_batch(self, wavs: Sequence[np.ndarray],
                       fields: Optional[Sequence[str]] = None) -> Dict:
@@ -234,7 +237,8 @@ class ForceAPTAIPredictor:
     def get_alignment(self, wav) -> Dict:
         """(phonemes × frames) log-softmax alignment
         (reference models/force_aptai.py:188-236)."""
-        audio, lengths = _prepare([np.asarray(wav, np.float32)])
+        audio, lengths = _prepare([np.asarray(wav, np.float32)],
+                                  self.transfer_dtype)
         out = self._align(self.params, audio, lengths)
         n = int(out["frame_lengths"][0])
         s = int(out["phn_seq_lengths"][0])
