@@ -189,6 +189,25 @@ def main():
     results["vstack_identity_gelu_ms"] = 1e3 * chain_time(
         stack_of(lambda a: a, True, flash_attention_bhtd), x, it)
 
+    # ---- front-end pieces (real modules, real params; 10 s audio)
+    from aptai_tpu.models.wav2vec2 import (FeatureExtractor,
+                                           PositionalConvEmbedding)
+
+    audio = jnp.asarray(rng.standard_normal((B, 160_000)) * 0.1, jnp.float32)
+    fe = FeatureExtractor(cfg)
+    fe_vars = fe.init(key, audio)
+
+    def fe_fn(a):
+        return fe.apply(fe_vars, audio + a[0].astype(audio.dtype) * 0)
+
+    results["feature_extractor_ms"] = 1e3 * chain_time(
+        fe_fn, jnp.zeros((8,), dtype), max(args.iters // 3, 5))
+
+    pos = PositionalConvEmbedding(cfg)
+    pos_vars = pos.init(key, x)
+    results["pos_conv_ms"] = 1e3 * chain_time(
+        lambda a: pos.apply(pos_vars, a) + a, x, args.iters)
+
     # rooflines at 121 TFLOPS effective bf16 (PERF.md round-1 measurement)
     tflops = 121e12
     results["roofline_proj_ms"] = 1e3 * (2 * B * T * HID * HID) / tflops
