@@ -176,10 +176,10 @@ def _selective_jit(model, method: str):
     def get(fields):
         key = None if fields is None else tuple(fields)
         if key not in cache:
-            def fwd(p, a, l):
-                if a.dtype == jnp.int16:
-                    a = dequantize_i16(a)
-                out = model.apply({"params": p}, a, l, method=method)
+            def fwd(p, *args):
+                if args[0].dtype == jnp.int16:
+                    args = (dequantize_i16(args[0]),) + args[1:]
+                out = model.apply({"params": p}, *args, method=method)
                 if key is None:
                     return out
                 unknown = set(key) - set(out)
@@ -199,25 +199,67 @@ def _selective_jit(model, method: str):
 
 
 class ForceAPTAIPredictor:
+    """``decode_method='beam_host'`` models run SPLIT at inference: jitted
+    frozen encode → host beam decode on the *calling* thread → jitted head
+    (models/force_aptai.py:predict_from_encoded).  No jitted program embeds
+    the host callback, so the predictor is safe under multi-threaded serving
+    (``MicroBatcher`` workers) — the in-jit callback variant
+    (models/force_aptai.py:_host_beam_decode) remains model-level
+    experiment code only."""
+
     def __init__(self, model, params, transfer_dtype: str = "float32"):
         self.model = model
         self.params = params
         self.transfer_dtype = transfer_dtype
-        self._fwd_for = _selective_jit(model, "predict")
+        self._split_beam = model.decode_method == "beam_host"
+        if self._split_beam:
+            def encode(p, a, l):
+                if a.dtype == jnp.int16:
+                    a = dequantize_i16(a)
+                return model.apply({"params": p}, a, l,
+                                   method="encode_frozen")
 
-        def align(p, a, l):
-            if a.dtype == jnp.int16:
-                a = dequantize_i16(a)
-            return model.apply({"params": p}, a, l, method="get_alignment")
+            self._encode = jax.jit(encode)
+            self._head_for = _selective_jit(model, "predict_from_encoded")
+            self._align_head = jax.jit(
+                lambda p, *e: model.apply({"params": p}, *e,
+                                          method="alignment_from_encoded"))
+        else:
+            self._fwd_for = _selective_jit(model, "predict")
 
-        self._align = jax.jit(align)
+            def align(p, a, l):
+                if a.dtype == jnp.int16:
+                    a = dequantize_i16(a)
+                return model.apply({"params": p}, a, l,
+                                    method="get_alignment")
+
+            self._align = jax.jit(align)
+
+    def _encode_and_decode(self, audio, lengths):
+        """First half of the split beam_host path: device encode, then the
+        host beam search on this thread (the CTC log-prob fetch it implies
+        is inherent to beam_host — the reference round-trips the same array
+        every step, w2v2_pr.py:144-155)."""
+        from aptai_tpu.decode.beam import beam_decode_padded
+
+        enc = self._encode(self.params, audio, lengths)
+        seqs, lens, trunc = beam_decode_padded(
+            enc["ctc_log_probs"], enc["frame_lengths"],
+            self.model.max_phn_seq_len,
+        )
+        return (enc["frame_embs"], enc["frame_lengths"],
+                jnp.asarray(seqs), jnp.asarray(lens), jnp.asarray(trunc))
 
     def predict_batch(self, wavs: Sequence[np.ndarray],
                       fields: Optional[Sequence[str]] = None) -> Dict:
         """Batched forward; leading dim of every output is ``len(wavs)``
         (bucketing pad rows sliced off device-side)."""
         audio, lengths = _prepare(wavs, self.transfer_dtype)
-        out = self._fwd_for(fields)(self.params, audio, lengths)
+        if self._split_beam:
+            enc = self._encode_and_decode(audio, lengths)
+            out = self._head_for(fields)(self.params, *enc)
+        else:
+            out = self._fwd_for(fields)(self.params, audio, lengths)
         return _strip_pad_rows(out, len(wavs))
 
     def get_faptai_output(self, wav) -> Dict:
@@ -239,7 +281,11 @@ class ForceAPTAIPredictor:
         (reference models/force_aptai.py:188-236)."""
         audio, lengths = _prepare([np.asarray(wav, np.float32)],
                                   self.transfer_dtype)
-        out = self._align(self.params, audio, lengths)
+        if self._split_beam:
+            enc = self._encode_and_decode(audio, lengths)
+            out = self._align_head(self.params, *enc)
+        else:
+            out = self._align(self.params, audio, lengths)
         n = int(out["frame_lengths"][0])
         s = int(out["phn_seq_lengths"][0])
         att = np.asarray(out["alignment"])[0, :n, :s]

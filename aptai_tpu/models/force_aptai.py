@@ -54,10 +54,12 @@ def _host_beam_decode(logits, frame_lengths, max_len: int):
     # PrefetchLoader producer) this deadlocks the whole process (all
     # threads futex-wait; reproduced on CPU-JAX, round 2).  NOTE even with
     # imports pre-resolved, a jit embedding this callback must not execute
-    # while another Python thread is alive — the TRAINERS therefore use the
-    # split path (encode_frozen → decode.beam.beam_decode_padded on the
-    # main thread → train_from_encoded); this in-jit variant remains for
-    # single-threaded inference/experiment use.
+    # while another Python thread is alive — trainers AND inference
+    # predictors therefore use the split path (encode_frozen →
+    # decode.beam.beam_decode_padded on the calling thread →
+    # train_from_encoded / predict_from_encoded; see
+    # infer/api.py:ForceAPTAIPredictor); this in-jit variant remains for
+    # single-threaded model-level experiment use only.
     from aptai_tpu.decode.beam import beam_decode_padded
 
     b = logits.shape[0]
@@ -239,6 +241,14 @@ class ForceAPTAI(nn.Module):
             "frame_lengths": frame_lengths,
         }
 
+    def _alignment_out(self, a):
+        return {
+            "alignment": a["att"],
+            "phn_pred_seq": a["phn_pred_seq"],
+            "phn_seq_lengths": a["phn_seq_lengths"],
+            "frame_lengths": a["frame_lengths"],
+        }
+
     def get_alignment(
         self,
         audio_inputs: jnp.ndarray,
@@ -247,23 +257,10 @@ class ForceAPTAI(nn.Module):
     ):
         """(phonemes × frames)-style log-softmax alignment
         (reference force_aptai.py:188-236; here batched, (B, T, N))."""
-        a = self._align(audio_inputs, audio_lengths, deterministic)
-        return {
-            "alignment": a["att"],
-            "phn_pred_seq": a["phn_pred_seq"],
-            "phn_seq_lengths": a["phn_seq_lengths"],
-            "frame_lengths": a["frame_lengths"],
-        }
+        return self._alignment_out(
+            self._align(audio_inputs, audio_lengths, deterministic))
 
-    def predict(
-        self,
-        audio_inputs: jnp.ndarray,
-        audio_lengths: jnp.ndarray,
-        deterministic: bool = True,
-    ):
-        """Batched device core of ``get_faptai_output``
-        (reference force_aptai.py:238-322)."""
-        a = self._align(audio_inputs, audio_lengths, deterministic)
+    def _predict_out(self, a, deterministic):
         rnn_out, rnn_hidden = self.rnn(
             a["att_out"], a["frame_lengths"], deterministic=deterministic
         )
@@ -280,3 +277,50 @@ class ForceAPTAI(nn.Module):
             "hidden_tvs": rnn_hidden,
             "frame_lengths": a["frame_lengths"],
         }
+
+    def predict(
+        self,
+        audio_inputs: jnp.ndarray,
+        audio_lengths: jnp.ndarray,
+        deterministic: bool = True,
+    ):
+        """Batched device core of ``get_faptai_output``
+        (reference force_aptai.py:238-322)."""
+        a = self._align(audio_inputs, audio_lengths, deterministic)
+        return self._predict_out(a, deterministic)
+
+    def predict_from_encoded(
+        self,
+        frame_embs: jnp.ndarray,
+        frame_lengths: jnp.ndarray,
+        phn_pred_seq: jnp.ndarray,
+        phn_seq_lengths: jnp.ndarray,
+        phn_seq_truncated: jnp.ndarray,
+        deterministic: bool = True,
+    ):
+        """``predict`` from pre-computed tower outputs + host-decoded
+        phoneme sequences — the second program of the split beam_host
+        *inference* path (see :meth:`encode_frozen`): predictors never embed
+        the host beam search in a jitted program, so they stay safe under
+        multi-threaded serving (``MicroBatcher`` workers).  Numerically
+        identical to ``predict`` with ``decode_method='beam_host'``."""
+        a = self._align_core(frame_embs, frame_lengths, phn_pred_seq,
+                             phn_seq_lengths, phn_seq_truncated,
+                             deterministic)
+        return self._predict_out(a, deterministic)
+
+    def alignment_from_encoded(
+        self,
+        frame_embs: jnp.ndarray,
+        frame_lengths: jnp.ndarray,
+        phn_pred_seq: jnp.ndarray,
+        phn_seq_lengths: jnp.ndarray,
+        phn_seq_truncated: jnp.ndarray,
+        deterministic: bool = True,
+    ):
+        """``get_alignment`` from pre-computed tower outputs (split
+        beam_host inference path; see :meth:`predict_from_encoded`)."""
+        return self._alignment_out(
+            self._align_core(frame_embs, frame_lengths, phn_pred_seq,
+                             phn_seq_lengths, phn_seq_truncated,
+                             deterministic))

@@ -65,6 +65,45 @@ def test_split_beam_path_matches_in_jit_callback(beam_setup):
                                   np.asarray(got["pred_frame_phns"]))
 
 
+def test_beam_host_predictor_uses_split_path(beam_setup):
+    """ForceAPTAIPredictor on a beam_host model must (a) never jit the host
+    callback — it runs the split encode → host-decode → head path — and
+    (b) match the in-jit callback forward numerically (predict AND
+    alignment schemas)."""
+    from aptai_tpu.infer.api import ForceAPTAIPredictor, _prepare
+
+    model, params, audio, lengths, tvs = beam_setup
+    wavs = [np.asarray(audio[0]), np.asarray(audio[1][:2400])]
+
+    pred = ForceAPTAIPredictor(model, params)
+    assert pred._split_beam
+    got = pred.predict_batch(wavs)
+
+    a, l = _prepare(wavs)  # identical bucketed device inputs
+    want = model.apply({"params": params}, a, l, method="predict")
+    assert set(got) == set(want)
+    for k in want:
+        np.testing.assert_allclose(
+            np.asarray(want[k])[:2], np.asarray(got[k]),
+            rtol=1e-5, atol=1e-5, err_msg=k)
+
+    # int16 transfer goes through the same split path
+    got16 = ForceAPTAIPredictor(model, params,
+                                transfer_dtype="int16").predict_batch(wavs)
+    assert np.isfinite(np.asarray(got16["tvs_pred"], np.float32)).all()
+
+    # alignment schema (single utterance): (phn × frames) slice parity
+    got_al = pred.get_alignment(wavs[1])
+    a1, l1 = _prepare([wavs[1]])
+    want_al = model.apply({"params": params}, a1, l1,
+                          method="get_alignment")
+    n = int(want_al["frame_lengths"][0])
+    s = int(want_al["phn_seq_lengths"][0])
+    np.testing.assert_allclose(
+        np.asarray(want_al["alignment"])[0, :n, :s].T,
+        got_al["alignment"], rtol=1e-5, atol=1e-5)
+
+
 def test_beam_decoded_batches_augments_and_drops_audio(beam_setup):
     from aptai_tpu.train.train_force_aptai import BeamDecodedBatches
 
