@@ -96,6 +96,19 @@ def _strip_pad_rows(out: Dict, n: int) -> Dict:
     return {k: v[:n] for k, v in out.items()}
 
 
+def _sharded_call(mesh, fn, params, *args):
+    """Run a jitted forward, optionally over a ``jax.sharding.Mesh``:
+    batch args shard over the data axis (params are already placed by
+    ``shard_tree`` at predictor construction)."""
+    if mesh is None:
+        return fn(params, *args)
+    from aptai_tpu.parallel import shard_batch
+
+    args = shard_batch(mesh, args)
+    with mesh:
+        return fn(params, *args)
+
+
 def _decode_with_times(log_probs: np.ndarray):
     nat = beam_search_native(log_probs)
     if nat is not None:
@@ -135,14 +148,7 @@ class APTAIPredictor:
         marshaling shrinks to what the caller actually consumes."""
         fwd = self._fwd_for(fields)
         audio, lengths = _prepare(wavs, self.transfer_dtype)
-        if self.mesh is not None:
-            from aptai_tpu.parallel import shard_batch
-
-            audio, lengths = shard_batch(self.mesh, (audio, lengths))
-            with self.mesh:
-                out = fwd(self.params, audio, lengths)
-        else:
-            out = fwd(self.params, audio, lengths)
+        out = _sharded_call(self.mesh, fwd, self.params, audio, lengths)
         return _strip_pad_rows(out, len(wavs))
 
     def get_aptai_output(self, wav) -> Dict:
@@ -207,8 +213,14 @@ class ForceAPTAIPredictor:
     (models/force_aptai.py:_host_beam_decode) remains model-level
     experiment code only."""
 
-    def __init__(self, model, params, transfer_dtype: str = "float32"):
+    def __init__(self, model, params, mesh=None,
+                 transfer_dtype: str = "float32"):
         self.model = model
+        self.mesh = mesh
+        if mesh is not None:
+            from aptai_tpu.parallel import shard_tree
+
+            params = shard_tree(mesh, params)
         self.params = params
         self.transfer_dtype = transfer_dtype
         self._split_beam = model.decode_method == "beam_host"
@@ -242,7 +254,8 @@ class ForceAPTAIPredictor:
         every step, w2v2_pr.py:144-155)."""
         from aptai_tpu.decode.beam import beam_decode_padded
 
-        enc = self._encode(self.params, audio, lengths)
+        enc = _sharded_call(self.mesh, self._encode, self.params,
+                            audio, lengths)
         seqs, lens, trunc = beam_decode_padded(
             enc["ctc_log_probs"], enc["frame_lengths"],
             self.model.max_phn_seq_len,
@@ -257,9 +270,11 @@ class ForceAPTAIPredictor:
         audio, lengths = _prepare(wavs, self.transfer_dtype)
         if self._split_beam:
             enc = self._encode_and_decode(audio, lengths)
-            out = self._head_for(fields)(self.params, *enc)
+            out = _sharded_call(self.mesh, self._head_for(fields),
+                                self.params, *enc)
         else:
-            out = self._fwd_for(fields)(self.params, audio, lengths)
+            out = _sharded_call(self.mesh, self._fwd_for(fields),
+                                self.params, audio, lengths)
         return _strip_pad_rows(out, len(wavs))
 
     def get_faptai_output(self, wav) -> Dict:
@@ -283,9 +298,11 @@ class ForceAPTAIPredictor:
                                   self.transfer_dtype)
         if self._split_beam:
             enc = self._encode_and_decode(audio, lengths)
-            out = self._align_head(self.params, *enc)
+            out = _sharded_call(self.mesh, self._align_head,
+                                self.params, *enc)
         else:
-            out = self._align(self.params, audio, lengths)
+            out = _sharded_call(self.mesh, self._align,
+                                self.params, audio, lengths)
         n = int(out["frame_lengths"][0])
         s = int(out["phn_seq_lengths"][0])
         att = np.asarray(out["alignment"])[0, :n, :s]
@@ -294,8 +311,13 @@ class ForceAPTAIPredictor:
 
 class W2V2PRPredictor:
     def __init__(self, model, params, vocab: Optional[Dict[str, int]] = None,
-                 transfer_dtype: str = "float32"):
+                 mesh=None, transfer_dtype: str = "float32"):
         self.model = model
+        self.mesh = mesh
+        if mesh is not None:
+            from aptai_tpu.parallel import shard_tree
+
+            params = shard_tree(mesh, params)
         self.params = params
         self.vocab = vocab
         self.transfer_dtype = transfer_dtype
@@ -306,7 +328,8 @@ class W2V2PRPredictor:
         """Batched encode; leading dim of every output is ``len(wavs)``
         (bucketing pad rows sliced off device-side)."""
         audio, lengths = _prepare(wavs, self.transfer_dtype)
-        out = self._encode_for(fields)(self.params, audio, lengths)
+        out = _sharded_call(self.mesh, self._encode_for(fields),
+                            self.params, audio, lengths)
         return _strip_pad_rows(out, len(wavs))
 
     def get_embeddings(self, wavs: Sequence[np.ndarray]) -> Dict:

@@ -90,6 +90,16 @@ class Wav2Vec2Config:
     attention_layout: str = "bhtd"
     fused_qkv: bool = False  # single QKV GEMM (param tree changes; see
     #                          hf_convert.convert_wav2vec2_encoder(fused_qkv=))
+    # INFERENCE-ONLY dynamic int8 quantization of the encoder GEMMs
+    # (ops/quant.py).  This chip's MXU runs int8 at ~1.6× its bf16 rate at
+    # the encoder shapes and the win survives on-the-fly quantization
+    # overhead (benchmarks/int8_gemm_probe.py).  "w8a8_ffn" quantizes the
+    # two FFN GEMMs (the bulk of the win, most conservative numerically);
+    # "w8a8" additionally quantizes the four attention projections.
+    # Output-changing approximation — default OFF; deviation bounds pinned
+    # in tests/test_quant.py.  jnp.round has zero gradient: do not train
+    # with this on (trainers keep "none").
+    quant: str = "none"  # "none" | "w8a8_ffn" | "w8a8"
     fused_feature_extractor: bool = False  # Pallas conv+LN+GELU kernel
     #   (ops/fused_conv.py): correct on TPU, double-buffered (two static
     #   scratch slots), but still measures ~8% slower end-to-end than XLA's

@@ -35,6 +35,8 @@ import numpy as np
 import flax.linen as nn
 
 from aptai_tpu.models.configs import Wav2Vec2Config
+from aptai_tpu.ops.quant import (w8a8_head_proj, w8a8_matmul,
+                                 w8a8_out_proj)
 from aptai_tpu.ops.attention import (multi_head_attention,
                                      multi_head_attention_bhtd)
 
@@ -284,6 +286,25 @@ class PositionalConvEmbedding(nn.Module):
         return _gelu(h, self.cfg)
 
 
+class QuantDense(nn.Module):
+    """``nn.Dense`` twin running its GEMM in dynamic W8A8 int8
+    (ops/quant.py; inference-only — see ``Wav2Vec2Config.quant``).
+    Parameter tree, shapes, and init are identical to ``nn.Dense``, so
+    checkpoints and HF conversion are unaffected."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (x.shape[-1], self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        y = w8a8_matmul(x, kernel, out_dtype=self.dtype)
+        return y + bias.astype(self.dtype)
+
+
 class HeadProjBHTD(nn.Module):
     """Linear projection straight into the kernel layout (B, H, T, D).
 
@@ -296,6 +317,7 @@ class HeadProjBHTD(nn.Module):
     hidden: int
     heads: int
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False  # dynamic W8A8 GEMM (inference-only)
 
     @nn.compact
     def __call__(self, x):  # (B, T, C) -> (B, H, T, D)
@@ -305,9 +327,13 @@ class HeadProjBHTD(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.hidden,),
                           jnp.float32)
         d = self.hidden // self.heads
-        k = kernel.reshape(c, self.heads, d).astype(self.dtype)
-        y = jnp.einsum("btc,chd->bhtd", x, k,
-                       preferred_element_type=self.dtype)
+        if self.quant:
+            y = w8a8_head_proj(x, kernel.reshape(c, self.heads, d),
+                               out_dtype=self.dtype)
+        else:
+            k = kernel.reshape(c, self.heads, d).astype(self.dtype)
+            y = jnp.einsum("btc,chd->bhtd", x, k,
+                           preferred_element_type=self.dtype)
         return y + bias.reshape(self.heads, d).astype(self.dtype)[
             None, :, None, :]
 
@@ -318,6 +344,7 @@ class OutProjBHTD(nn.Module):
 
     hidden: int
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False  # dynamic W8A8 GEMM (inference-only)
 
     @nn.compact
     def __call__(self, ctx):  # (B, H, T, D) -> (B, T, C)
@@ -326,6 +353,9 @@ class OutProjBHTD(nn.Module):
                             (h * d, self.hidden), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.hidden,),
                           jnp.float32)
+        if self.quant:
+            return w8a8_out_proj(ctx, kernel.reshape(h, d, self.hidden),
+                                 out_dtype=self.dtype) + bias.astype(self.dtype)
         k = kernel.reshape(h, d, self.hidden).astype(self.dtype)
         return jnp.einsum("bhtd,hdc->btc", ctx, k,
                           preferred_element_type=self.dtype
@@ -343,13 +373,15 @@ class SelfAttention(nn.Module):
         b, t, _ = x.shape
 
         if cfg.attention_layout == "bhtd" and not cfg.fused_qkv:
+            quant = cfg.quant == "w8a8"  # "w8a8_ffn" leaves projections exact
+
             def proj(name):
                 return HeadProjBHTD(cfg.hidden_size, h_heads, dtype=dtype,
-                                    name=name)
+                                    quant=quant, name=name)
 
             q, k, v = (proj(n)(x) for n in ("q_proj", "k_proj", "v_proj"))
             ctx = multi_head_attention_bhtd(q, k, v, lengths)
-            out = OutProjBHTD(cfg.hidden_size, dtype=dtype,
+            out = OutProjBHTD(cfg.hidden_size, dtype=dtype, quant=quant,
                               name="out_proj")(ctx)
             return nn.Dropout(cfg.attention_dropout)(
                 out, deterministic=deterministic)
@@ -382,11 +414,12 @@ class FeedForward(nn.Module):
     def __call__(self, x, deterministic: bool):
         cfg = self.cfg
         dtype = _compute_dtype(cfg)
-        h = nn.Dense(cfg.intermediate_size, dtype=dtype,
-                     name="intermediate_dense")(x)
+        dense = QuantDense if cfg.quant in ("w8a8", "w8a8_ffn") else nn.Dense
+        h = dense(cfg.intermediate_size, dtype=dtype,
+                  name="intermediate_dense")(x)
         h = _gelu(h, cfg)
         h = nn.Dropout(cfg.activation_dropout)(h, deterministic=deterministic)
-        h = nn.Dense(cfg.hidden_size, dtype=dtype, name="output_dense")(h)
+        h = dense(cfg.hidden_size, dtype=dtype, name="output_dense")(h)
         return nn.Dropout(cfg.hidden_dropout)(h, deterministic=deterministic)
 
 

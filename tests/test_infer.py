@@ -195,6 +195,41 @@ def test_aptai_predictor_on_mesh(models):
     )
 
 
+def test_pr_and_force_predictors_on_mesh(models):
+    """All three predictor families accept ``mesh=``: DP outputs must match
+    single-device, including the beam_host split path (sharded encode →
+    host decode → sharded head)."""
+    from aptai_tpu.models import ForceAPTAI, tiny_config
+    from aptai_tpu.parallel import make_mesh
+
+    _, (pr, pp), (force, fp) = models
+    mesh = make_mesh(data=8, model=1)
+    rng = np.random.default_rng(6)
+    wavs = [rng.standard_normal(4000).astype(np.float32) for _ in range(8)]
+
+    out_m = W2V2PRPredictor(pr, pp, mesh=mesh).encode_batch(wavs)
+    out_s = W2V2PRPredictor(pr, pp).encode_batch(wavs)
+    np.testing.assert_allclose(
+        np.asarray(out_m["phoneme_logits"]),
+        np.asarray(out_s["phoneme_logits"]), rtol=1e-4, atol=1e-5)
+
+    fm = ForceAPTAIPredictor(force, fp, mesh=mesh).predict_batch(wavs)
+    fs = ForceAPTAIPredictor(force, fp).predict_batch(wavs)
+    np.testing.assert_allclose(np.asarray(fm["tvs_pred"]),
+                               np.asarray(fs["tvs_pred"]),
+                               rtol=1e-4, atol=1e-5)
+
+    beam = ForceAPTAI(tiny_config(), vocab_size=force.vocab_size,
+                      decode_method="beam_host")
+    bm = ForceAPTAIPredictor(beam, fp, mesh=mesh).predict_batch(wavs)
+    bs = ForceAPTAIPredictor(beam, fp).predict_batch(wavs)
+    np.testing.assert_array_equal(np.asarray(bm["pred_ctc_phn_seq"]),
+                                  np.asarray(bs["pred_ctc_phn_seq"]))
+    np.testing.assert_allclose(np.asarray(bm["tvs_pred"]),
+                               np.asarray(bs["tvs_pred"]),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_streaming_chunk_parallel_on_mesh(models):
     """Sequence parallelism for one long file: chunk-batched streaming over
     the mesh matches sequential streaming exactly."""
