@@ -52,11 +52,15 @@ def main():
         cfg = dataclasses.replace(base_cfg, quant=mode)
         model = APTAI(cfg, num_phonemes=46)
         if params is None:
-            with jax.default_device(jax.devices("cpu")[0]):
-                variables = jax.jit(
-                    lambda: model.init(jax.random.PRNGKey(0), audio, lengths,
-                                       method="predict"))()
-            params = jax.device_put(variables["params"])
+            # init directly on the device (bench.py methodology): CPU-init +
+            # device_put leaves row-major param buffers whose layouts
+            # mismatch the executable's XLA-chosen ones — on the axon
+            # tunnel that costs a full param relayout round trip PER CALL
+            # (~22 s/iter measured; the param tree is quant-invariant so
+            # one init serves every mode)
+            variables = model.init(jax.random.PRNGKey(0), audio, lengths,
+                                   method="predict")
+            params = variables["params"]
 
         @jax.jit
         def forward(p, a, l, chain):
