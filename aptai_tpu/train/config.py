@@ -57,6 +57,12 @@ class TrainConfig:
     # parallelism (new first-class scope; reference is single-device)
     mesh_data: int = -1
     mesh_model: int = 1
+    # ZeRO-3-style fully-sharded data parallelism: params + Adam moments
+    # shard over the data axis (parallel/mesh.py::param_shardings(fsdp=));
+    # XLA inserts the all-gathers.  ~data-fold lower per-device state
+    # memory, same numerics as DP — for backbones (or optimizer settings)
+    # that outgrow one chip's HBM.
+    fsdp: bool = False
     # backend selection: "auto" keeps the default (TPU when available);
     # "cpu" forces host execution — the analog of the reference's
     # cuda-else-cpu fallback (reference train_phoneme_recognizer.py:177)

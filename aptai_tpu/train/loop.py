@@ -84,7 +84,7 @@ def fit(
     history = []
 
     with mesh:
-        state = shard_tree(mesh, state)
+        state = shard_tree(mesh, state, fsdp=getattr(cfg, "fsdp", False))
 
         for epoch in range(start_epoch, cfg.num_epochs):
             lr = epoch_learning_rate(
