@@ -93,6 +93,33 @@ def test_head_and_out_proj_match_matmul_layout():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_quant_predictor_matches_on_tp_mesh():
+    """W8A8 under DP×TP: the dynamic scales reduce over SHARDED dims in the
+    row-parallel layers (weight max over the contracted model-axis shard,
+    activation row max over the sharded hidden) — XLA must insert the max
+    collectives and the result must equal the unsharded quantized forward."""
+    import jax.numpy as jnp
+
+    from aptai_tpu.infer import APTAIPredictor
+    from aptai_tpu.models import APTAI
+    from aptai_tpu.parallel import make_mesh
+
+    cfg = dataclasses.replace(tiny_config(), quant="w8a8")
+    model = APTAI(cfg, num_phonemes=cfg.vocab_size)
+    rng = np.random.default_rng(5)
+    audio = jnp.asarray(rng.standard_normal((1, 3200)), jnp.float32)
+    lens = jnp.asarray(np.array([3200], np.int32))
+    v = model.init(jax.random.PRNGKey(0), audio, lens, method="predict")
+
+    wavs = [rng.standard_normal(4000).astype(np.float32) for _ in range(8)]
+    out_m = APTAIPredictor(model, v["params"],
+                           mesh=make_mesh(data=4, model=2)).predict_batch(wavs)
+    out_s = APTAIPredictor(model, v["params"]).predict_batch(wavs)
+    np.testing.assert_allclose(np.asarray(out_m["tvs_pred"]),
+                               np.asarray(out_s["tvs_pred"]),
+                               rtol=1e-4, atol=1e-5)
+
+
 @pytest.mark.parametrize("mode", ["w8a8_ffn", "w8a8"])
 def test_encoder_quant_param_tree_and_deviation(mode):
     """Same param tree as the exact model (flag is pure compute), and the
