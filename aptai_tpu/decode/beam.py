@@ -23,25 +23,32 @@ import numpy as np
 NEG_INF = -math.inf
 
 
-def beam_decode_padded(log_probs, frame_lengths, max_len: int):
+def beam_decode_padded(log_probs, frame_lengths, max_len: int,
+                       out_rows: int | None = None):
     """Host beam decode of a batch into fixed-width padded id sequences.
 
     Used by the *split* beam_host training step (device encode → THIS on the
     main thread → device head; see models/force_aptai.py:encode_frozen) and
     numerically identical to the in-jit callback decode.  Returns
-    ``(seqs (B, max_len) int32, lengths (B,) int32, truncated (B,) int32)``
-    with the reference's 60-token cap semantics (force_aptai.py:109-115;
-    overflow counted, not fatal)."""
-    import numpy as np
+    ``(seqs (rows, max_len) int32, lengths (rows,) int32, truncated (rows,)
+    int32)`` with the reference's 60-token cap semantics
+    (force_aptai.py:109-115; overflow counted, not fatal).
 
+    ``out_rows`` > B pads the outputs with zero-length sequences — callers
+    whose device batch is bucketed wider than the real item count (serving)
+    pass only the real rows here (the serial host search is the split path's
+    bottleneck; decoding full-length silence pad rows would nearly double
+    it) and keep the head's static batch shape via the padding."""
     from aptai_tpu.decode.native import beam_search_native
 
     lp = np.asarray(log_probs, np.float32)
     fl = np.asarray(frame_lengths)
     b = lp.shape[0]
-    out = np.zeros((b, max_len), np.int32)
-    lens = np.zeros((b,), np.int32)
-    trunc = np.zeros((b,), np.int32)
+    rows = b if out_rows is None else out_rows
+    assert rows >= b, (rows, b)
+    out = np.zeros((rows, max_len), np.int32)
+    lens = np.zeros((rows,), np.int32)
+    trunc = np.zeros((rows,), np.int32)
     for i in range(b):
         nat = beam_search_native(lp[i, : fl[i]])
         toks = (nat[0] if nat is not None

@@ -247,18 +247,28 @@ class ForceAPTAIPredictor:
 
             self._align = jax.jit(align)
 
-    def _encode_and_decode(self, audio, lengths):
+    def _encode_and_decode(self, audio, lengths, n: Optional[int] = None):
         """First half of the split beam_host path: device encode, then the
         host beam search on this thread (the CTC log-prob fetch it implies
         is inherent to beam_host — the reference round-trips the same array
-        every step, w2v2_pr.py:144-155)."""
+        every step, w2v2_pr.py:144-155).
+
+        ``n`` = the caller's real item count: only those rows are fetched
+        and beam-decoded (the batch dim is bucketed to a power of two, so
+        decoding the full-length silence pad rows would nearly double the
+        serial host-search time); pad rows get zero-length sequences, which
+        keeps the head's static batch shape."""
         from aptai_tpu.decode.beam import beam_decode_padded
 
         enc = _sharded_call(self.mesh, self._encode, self.params,
                             audio, lengths)
+        rows = enc["ctc_log_probs"].shape[0]
+        n = rows if n is None else min(n, rows)
+        # device-side slice: the host fetch inside beam_decode_padded then
+        # marshals only the real rows over the tunnel
         seqs, lens, trunc = beam_decode_padded(
-            enc["ctc_log_probs"], enc["frame_lengths"],
-            self.model.max_phn_seq_len,
+            enc["ctc_log_probs"][:n], enc["frame_lengths"][:n],
+            self.model.max_phn_seq_len, out_rows=rows,
         )
         return (enc["frame_embs"], enc["frame_lengths"],
                 jnp.asarray(seqs), jnp.asarray(lens), jnp.asarray(trunc))
@@ -269,7 +279,7 @@ class ForceAPTAIPredictor:
         (bucketing pad rows sliced off device-side)."""
         audio, lengths = _prepare(wavs, self.transfer_dtype)
         if self._split_beam:
-            enc = self._encode_and_decode(audio, lengths)
+            enc = self._encode_and_decode(audio, lengths, n=len(wavs))
             out = _sharded_call(self.mesh, self._head_for(fields),
                                 self.params, *enc)
         else:
@@ -297,7 +307,7 @@ class ForceAPTAIPredictor:
         audio, lengths = _prepare([np.asarray(wav, np.float32)],
                                   self.transfer_dtype)
         if self._split_beam:
-            enc = self._encode_and_decode(audio, lengths)
+            enc = self._encode_and_decode(audio, lengths, n=1)
             out = _sharded_call(self.mesh, self._align_head,
                                 self.params, *enc)
         else:

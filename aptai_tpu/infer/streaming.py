@@ -57,6 +57,17 @@ class StreamingPredictor:
         the dominant streaming cost (benchmarks/PERF.md round 3)."""
         if overlap_seconds >= chunk_seconds:
             raise ValueError("overlap must be smaller than the chunk")
+        if getattr(model, "decode_method", "greedy") == "beam_host":
+            # predict would embed the host-callback beam search in a jitted
+            # program, which deadlocks against the streaming fetch threads
+            # (the same pure_callback × live-thread hazard the trainer's
+            # split path removes — models/force_aptai.py:_host_beam_decode)
+            raise ValueError(
+                "streaming requires an on-device in-step decode: build the "
+                "model with decode_method='greedy' (the TPU-native default) "
+                "or use ForceAPTAIPredictor, whose split beam path keeps "
+                "the host beam search out of jit"
+            )
         self.model = model
         self.mesh = mesh
         if frame_keys is not None:
@@ -100,6 +111,10 @@ class StreamingPredictor:
             return {k: v for k, v in out.items() if k in keep}
 
         def fwd(p, a, l):
+            from aptai_tpu.infer.api import dequantize_i16
+
+            if a.dtype == jnp.int16:
+                a = dequantize_i16(a)
             out = model.apply({"params": p}, a, l, method="predict")
             return {k: v for k, v in out.items() if k in keep}
 
@@ -184,6 +199,12 @@ class StreamingPredictor:
             padded = np.zeros((n_chunks, self.chunk), np.float32)
             for i, s in enumerate(starts):
                 padded[i, : lens[i]] = wav[s : s + lens[i]]
+            if self.transfer_dtype == "int16":
+                # the mesh path uploads the per-chunk stack; the halved
+                # transfer applies here exactly as on the window path
+                from aptai_tpu.infer.api import quantize_i16
+
+                padded = quantize_i16(padded)
             for i0 in range(0, n_chunks, g):
                 grp = slice(i0, min(i0 + g, n_chunks))
                 p, l = padded[grp], lens[grp]

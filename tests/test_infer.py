@@ -424,3 +424,38 @@ def test_streaming_int16_matches_f32(models, rng):
     np.testing.assert_array_equal(a["phn_fc_pred"], b["phn_fc_pred"])
     for k in a["tvs_pred"]:
         np.testing.assert_array_equal(a["tvs_pred"][k], b["tvs_pred"][k])
+
+
+def test_streaming_int16_on_mesh_matches_f32(models, rng):
+    """The mesh (chunk-parallel) path must honor transfer_dtype="int16"
+    exactly like the single-device window path (round-3 advisor fix)."""
+    from aptai_tpu.infer import StreamingAPTAI
+    from aptai_tpu.parallel import make_mesh
+
+    (aptai, ap), _, _ = models
+    pcm = rng.integers(-2000, 2000, size=16000 * 5).astype(np.int16)
+    wav = pcm.astype(np.float32) / 32768.0
+    mesh = make_mesh(data=4, model=1)
+    kw = dict(chunk_seconds=1.0, overlap_seconds=0.2, chunk_batch=4,
+              mesh=mesh)
+    a = StreamingAPTAI(aptai, ap, **kw).predict(wav)
+    b = StreamingAPTAI(aptai, ap, transfer_dtype="int16", **kw).predict(wav)
+    np.testing.assert_array_equal(a["phn_fc_pred"], b["phn_fc_pred"])
+    for k in a["tvs_pred"]:
+        np.testing.assert_array_equal(a["tvs_pred"][k], b["tvs_pred"][k])
+
+
+def test_streaming_rejects_beam_host_model(models):
+    """A beam_host FORCE model embeds a host-callback beam search in its
+    jitted predict — deadlock-prone under the streaming fetch threads, so
+    the streamer must refuse it loudly at construction."""
+    from aptai_tpu.infer import StreamingForceAPTAI
+    from aptai_tpu.models import ForceAPTAI, tiny_config
+
+    _, _, (_, fp) = models
+    cfg = tiny_config()
+    beam_model = ForceAPTAI(cfg, vocab_size=cfg.vocab_size,
+                            decode_method="beam_host")
+    with pytest.raises(ValueError, match="beam"):
+        StreamingForceAPTAI(beam_model, fp, chunk_seconds=2.0,
+                            overlap_seconds=0.5)
