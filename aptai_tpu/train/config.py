@@ -156,6 +156,13 @@ class ForceAPTAIConfig(TrainConfig):
     collapse_per_threshold: float = 0.95
     collapse_patience: int = 3
     collapse_fallback: bool = False
+    # run the frozen tower (+ in-step decode) ONCE per utterance and train
+    # the head from cached encodings (train/frozen_cache.py): the tower is
+    # frozen and deterministic, so recomputing it every epoch — as the
+    # reference does, train_force_aptai.py:403-429 — is pure waste
+    # (~99.8% of step FLOPs).  --no_cache_frozen_encodings restores the
+    # per-step tower forward (e.g. host-memory-constrained corpora).
+    cache_frozen_encodings: bool = True
 
 
 def _add_dataclass_args(parser: argparse.ArgumentParser, cls) -> None:

@@ -1,0 +1,195 @@
+"""Frozen-tower encoding cache for FORCE-APTAI training.
+
+The FORCE model's wav2vec2 tower is *frozen* (reference
+models/force_aptai.py:76-78) and runs deterministically (eval mode, no
+dropout, no SpecAugment — models/force_aptai.py:encode_frozen), yet the
+reference recomputes it — plus a host beam decode — inside EVERY training
+step of every epoch (reference train/train_force_aptai.py:403-429 →
+force_aptai.py:80-115).  That is ~99.8% of the step FLOPs spent
+re-deriving values that cannot change across the run.
+
+:class:`FrozenEncodedLoader` removes the waste: it runs the tower (and the
+in-step CTC decode) exactly ONCE per utterance at construction, caches the
+trimmed per-utterance outputs on the host, and then serves shuffled,
+frame-bucketed batches of encodings every epoch — the train step becomes
+the ~0.5M-parameter head alone (``train_from_encoded``).  Numerics are
+those of the direct step up to audio-bucketing float tolerance (the same
+tolerance batched-vs-single inference carries; pinned in
+tests/test_frozen_cache.py).
+
+Works for both decode methods: greedy decodes on device inside the cache
+pass; beam_host beam-decodes each utterance once on the host — after which
+the *training* cost of beam_host equals greedy's.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Sequence
+
+import jax
+import numpy as np
+
+from aptai_tpu import (CTC_LABEL_PAD_ID, PHONEME_FRAME_PAD_ID,
+                       TV_PAD_VALUE)
+from aptai_tpu.data.batching import (FRAME_BUCKET, LABEL_BUCKET,
+                                     BucketedLoader, _pad_to, _round_up)
+from aptai_tpu.ops.ctc import greedy_decode
+
+
+@functools.lru_cache(maxsize=None)
+def _cache_encode_fn(model):
+    """Jitted frozen-tower encode (+ on-device greedy decode when the model
+    decodes greedily) for the one-time cache pass."""
+    greedy = model.decode_method != "beam_host"
+
+    def fn(p, a, l):
+        enc = model.apply({"params": p}, a, l, method="encode_frozen")
+        out = {"frame_embs": enc["frame_embs"],
+               "frame_lengths": enc["frame_lengths"]}
+        if greedy:
+            seqs, sl, tr = greedy_decode(
+                enc["logits"], enc["frame_lengths"], blank=0,
+                max_output_length=model.max_phn_seq_len,
+                return_truncated=True,
+            )
+            out.update(phn_pred_seq=seqs, phn_seq_lengths=sl,
+                       phn_seq_truncated=tr)
+        else:
+            out["ctc_log_probs"] = enc["ctc_log_probs"]
+        return out
+
+    return jax.jit(fn)
+
+
+def collate_encoded(items: Sequence[Dict], bucket: bool = True) -> Dict:
+    """Batch cached per-utterance encodings: frame-level arrays pad to
+    FRAME_BUCKET multiples (static shapes), sentinels as everywhere else
+    (TVs −100.0, CTC labels −100); zero-padded frame embeddings are inert —
+    every consumer is length-masked (RNN scan, ForwardSum, TV mask)."""
+    f_w = max(int(x["frame_length"]) for x in items)
+    if bucket:
+        f_w = _round_up(f_w, FRAME_BUCKET)
+    l_w = _round_up(max(len(x["phoneme_label"]) for x in items), LABEL_BUCKET)
+    return {
+        "frame_embs": np.stack(
+            [_pad_to(x["frame_embs"], f_w, 0) for x in items]),
+        "enc_frame_lengths": np.asarray(
+            [x["frame_length"] for x in items], np.int32),
+        "phn_pred_seq": np.stack([x["phn_pred_seq"] for x in items]),
+        "phn_seq_lengths": np.asarray(
+            [x["phn_seq_length"] for x in items], np.int32),
+        "phn_seq_truncated": np.asarray(
+            [x["phn_seq_truncated"] for x in items], np.int32),
+        "tv_targets": np.stack(
+            [_pad_to(np.asarray(x["tv_targets"], np.float32), f_w,
+                     TV_PAD_VALUE) for x in items]),
+        "phoneme_labels": np.stack(
+            [_pad_to(np.asarray(x["phoneme_label"], np.int32), l_w,
+                     CTC_LABEL_PAD_ID) for x in items]),
+        # metric-side keys (validate_tv/ctc_seq_per read these from the
+        # batch): ground-truth frame phonemes + the manifest frame count
+        "phn_frames": np.stack(
+            [_pad_to(np.asarray(x["phn_frames"], np.int32), f_w,
+                     PHONEME_FRAME_PAD_ID) for x in items]),
+        "frame_lengths": np.asarray(
+            [x["frame_length_raw"] for x in items], np.int32),
+    }
+
+
+class _CachedItems:
+    def __init__(self, items: List[Dict]):
+        self.items = items
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, i):
+        return self.items[i]
+
+
+class FrozenEncodedLoader(BucketedLoader):
+    """Epoch iterator over cached frozen-tower encodings.
+
+    ``loader``: a batch loader over the raw corpus (``collate_tv`` batches
+    with ``batch_pad_mask``) consumed ONCE at construction to build the
+    cache; afterwards this object is a shuffled, frame-width-bucketed
+    loader whose batches feed ``ForceAPTAI.train_from_encoded`` directly.
+    ``mesh``: the tower encode shards over it like the train step
+    (multi-chip cache build)."""
+
+    def __init__(self, loader, model, params, mesh=None, shuffle=True,
+                 seed: int = 0):
+        self.model = model
+        self._beam = model.decode_method == "beam_host"
+        mesh = mesh if mesh is not None and mesh.devices.size > 1 else None
+        if mesh is not None:
+            from aptai_tpu.parallel import shard_tree
+
+            params = shard_tree(mesh, params)
+        else:
+            params = jax.device_put(params)
+        enc_fn = _cache_encode_fn(model)
+        items: List[Dict] = []
+        for batch in loader:
+            if mesh is not None:
+                from aptai_tpu.parallel import shard_batch
+
+                with mesh:
+                    sb = shard_batch(mesh, {
+                        "audio": batch["audio"],
+                        "audio_lengths": batch["audio_lengths"],
+                    })
+                    enc = enc_fn(params, sb["audio"], sb["audio_lengths"])
+            else:
+                enc = enc_fn(params, batch["audio"],
+                             batch["audio_lengths"])
+            mask = np.asarray(batch.get(
+                "batch_pad_mask", np.ones(len(batch["audio"]), bool)))
+            fl = np.asarray(enc["frame_lengths"])
+            if self._beam:
+                from aptai_tpu.decode.beam import beam_decode_padded
+
+                n = int(mask.sum())  # real rows only (leading by contract)
+                seqs, sl, tr = beam_decode_padded(
+                    enc["ctc_log_probs"][:n], fl[:n],
+                    model.max_phn_seq_len, out_rows=len(mask),
+                )
+            else:
+                seqs = np.asarray(enc["phn_pred_seq"])
+                sl = np.asarray(enc["phn_seq_lengths"])
+                tr = np.asarray(enc["phn_seq_truncated"])
+            embs = np.asarray(enc["frame_embs"])
+            tvs = np.asarray(batch["tv_targets"])
+            labels = np.asarray(batch["phoneme_labels"])
+            fl_raw = np.asarray(batch.get("frame_lengths", fl))
+            phn_frames = np.asarray(batch.get(
+                "phn_frames",
+                np.zeros(embs.shape[:2], np.int32)))
+            for b in range(len(mask)):
+                if not mask[b]:
+                    continue  # repeat-padded partial-batch row
+                t = int(fl[b])
+                lab = labels[b]
+                items.append({
+                    "frame_embs": embs[b, :t],
+                    "frame_length": t,
+                    "frame_length_raw": int(fl_raw[b]),
+                    "phn_pred_seq": seqs[b],
+                    "phn_seq_length": int(sl[b]),
+                    "phn_seq_truncated": int(tr[b]),
+                    "tv_targets": tvs[b, :t],
+                    "phn_frames": phn_frames[b, :t],
+                    "phoneme_label": lab[lab != CTC_LABEL_PAD_ID],
+                })
+        super().__init__(
+            _CachedItems(items), batch_size=loader.batch_size,
+            collate_fn=collate_encoded, shuffle=shuffle, seed=seed,
+        )
+
+    def _item_width(self, item) -> int:
+        return _round_up(item["frame_length"], FRAME_BUCKET)
+
+    @property
+    def cache_bytes(self) -> int:
+        return sum(x["frame_embs"].nbytes for x in self.dataset.items)

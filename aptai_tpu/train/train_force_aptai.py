@@ -39,18 +39,23 @@ _EVAL_KEYS = ("loss", "tvs_pred", "pred_frame_phns", "pred_ctc_phn_seq",
               "phn_seq_lengths", "phn_seq_truncated")
 
 
-def force_loss_fn(model):
-    """Train-step loss.  For the greedy default the whole forward (frozen
-    tower + on-device decode + head) is ONE XLA program.  For beam_host the
-    step consumes batches pre-augmented by :class:`BeamDecodedBatches`
-    (frozen-tower outputs + host-beam-decoded sequences): the decode happens
-    on the MAIN thread between two device programs instead of as an XLA host
-    callback inside the step — a jit-embedded callback deadlocks against any
-    other live Python thread (the PrefetchLoader producer; reproduced
-    deterministically on CPU-JAX), so the callback variant must never run in
-    a trainer.  Bonus: the step skips the tower entirely (its outputs ride
-    in with the batch), which the frozen-tower contract makes exact."""
-    if model.decode_method == "beam_host":
+def force_loss_fn(model, from_encoded: bool = False):
+    """Train-step loss.  Three step layouts share the same head math:
+
+    * ``from_encoded`` (the default trainer path, via
+      :class:`~aptai_tpu.train.frozen_cache.FrozenEncodedLoader`): batches
+      carry cached frozen-tower outputs + decoded sequences; the step is
+      the head alone.
+    * beam_host without the cache: batches pre-augmented per epoch by
+      :class:`BeamDecodedBatches` (the decode happens on the MAIN thread
+      between two device programs instead of as an XLA host callback inside
+      the step — a jit-embedded callback deadlocks against any other live
+      Python thread (the PrefetchLoader producer; reproduced
+      deterministically on CPU-JAX), so the callback variant must never run
+      in a trainer).
+    * greedy without the cache: the whole forward (frozen tower + on-device
+      decode + head) is ONE XLA program."""
+    if from_encoded or model.decode_method == "beam_host":
         def loss_fn(params, batch, rngs):
             out = model.apply(
                 {"params": params}, batch["frame_embs"],
@@ -73,8 +78,14 @@ def force_loss_fn(model):
     return loss_fn
 
 
+@functools.lru_cache(maxsize=None)
 def _split_beam_fns(model):
-    """(encode_jit, head_jit) for the split beam_host forward."""
+    """(encode_jit, head_jit) for the split beam_host forward.
+
+    Memoized on the (hashable, frozen-dataclass) Flax module: the batch
+    adapter and the eval forward share ONE pair of jit wrappers, so the
+    frozen-tower encode — a minutes-long compile at full size — traces and
+    compiles once instead of once per call site."""
     enc_j = jax.jit(lambda p, a, l: model.apply(
         {"params": p}, a, l, method="encode_frozen"))
     head_j = jax.jit(lambda p, fe, fl, seq, sl, tr, tv: model.apply(
@@ -91,24 +102,49 @@ class BeamDecodedBatches:
     in beam mode (VERDICT r2 #5) — the producer thread only ever touches
     numpy collation, never jit-with-callback programs."""
 
-    def __init__(self, loader, model, params):
+    def __init__(self, loader, model, params, mesh=None):
         from aptai_tpu.decode.beam import beam_decode_padded
 
         self.loader = loader
         self.model = model
-        # frozen tower ⇒ any epoch's params work; place once (a fresh
-        # buffer — never aliased with the donated train state)
-        self.params = jax.device_put(params)
+        # multi-chip: the frozen-tower encode is the step's dominant
+        # compute, so it must run sharded like the step itself — params by
+        # the tensor-parallel path rules (replicated when model=1, i.e. no
+        # second full copy beyond DP replication), batches over the data
+        # axis.  Single chip: plain placement.
+        self.mesh = mesh if mesh is not None and mesh.devices.size > 1 \
+            else None
+        if self.mesh is not None:
+            from aptai_tpu.parallel import shard_tree
+
+            # frozen tower ⇒ any epoch's params work; place once (fresh
+            # buffers — never aliased with the donated train state)
+            self.params = shard_tree(self.mesh, params)
+        else:
+            self.params = jax.device_put(params)
         self._decode = beam_decode_padded
         self._enc_j, _ = _split_beam_fns(model)
 
     def __len__(self):
         return len(self.loader)
 
+    def _encode(self, batch):
+        if self.mesh is not None:
+            from aptai_tpu.parallel import shard_batch
+
+            with self.mesh:
+                sb = shard_batch(self.mesh, {
+                    "audio": batch["audio"],
+                    "audio_lengths": batch["audio_lengths"],
+                })
+                return self._enc_j(self.params, sb["audio"],
+                                   sb["audio_lengths"])
+        return self._enc_j(self.params, batch["audio"],
+                           batch["audio_lengths"])
+
     def __iter__(self):
         for batch in self.loader:
-            enc = self._enc_j(self.params, batch["audio"],
-                              batch["audio_lengths"])
+            enc = self._encode(batch)
             seqs, lens, trunc = self._decode(
                 enc["ctc_log_probs"], enc["frame_lengths"],
                 self.model.max_phn_seq_len,
@@ -122,6 +158,22 @@ class BeamDecodedBatches:
                 phn_seq_truncated=trunc,
             )
             yield out
+
+
+def make_encoded_eval_forward(model):
+    """Eval forward over cached-encodings batches (frozen_cache.py): the
+    per-epoch validation pass touches only the head — the tower ran once at
+    cache build.  Returns the same _EVAL_KEYS dict as make_eval_forward."""
+    _, head_j = _split_beam_fns(model)
+
+    def forward(params, batch):
+        out = head_j(params, batch["frame_embs"],
+                     batch["enc_frame_lengths"], batch["phn_pred_seq"],
+                     batch["phn_seq_lengths"], batch["phn_seq_truncated"],
+                     batch["tv_targets"])
+        return {k: out[k] for k in _EVAL_KEYS}
+
+    return forward
 
 
 def make_eval_forward(model):
@@ -212,23 +264,44 @@ def run_speaker(cfg, hprc_df, vocab, test_spk, model, params, model_cfg,
     # prefetch is ALWAYS on: the beam_host path no longer embeds a host
     # callback in the step (split decode — see force_loss_fn), so the
     # producer thread is safe in both decode modes
-    train_dl = PrefetchLoader(
-        _loader(train_df, vocab, cfg.batch_size, True, cfg.seed))
-    if model.decode_method == "beam_host":
-        train_dl = BeamDecodedBatches(train_dl, model, params)
+    if cfg.cache_frozen_encodings:
+        from aptai_tpu.train.frozen_cache import FrozenEncodedLoader
+
+        enc_dl = FrozenEncodedLoader(
+            _loader(train_df, vocab, cfg.batch_size, False),
+            model, params, mesh=engine.mesh, seed=cfg.seed,
+        )
+        print(f"frozen-tower cache: {len(enc_dl.dataset)} utterances, "
+              f"{enc_dl.cache_bytes / 1e6:.1f} MB host")
+        train_dl = PrefetchLoader(enc_dl)
+    else:
+        train_dl = PrefetchLoader(
+            _loader(train_df, vocab, cfg.batch_size, True, cfg.seed))
+        if model.decode_method == "beam_host":
+            train_dl = BeamDecodedBatches(train_dl, model, params,
+                                          mesh=engine.mesh)
     valid_dl = _loader(valid_df, vocab, eval_bs, False)
     test_n_dl = _loader(test_n_df, vocab, eval_bs, False)
     test_f_dl = _loader(test_f_df, vocab, eval_bs, False)
 
+    def encoded_val_dl(for_model):
+        """Per-epoch validation re-runs the frozen tower over the SAME val
+        set; with the cache it runs once here and validation is head-only."""
+        from aptai_tpu.train.frozen_cache import FrozenEncodedLoader
+
+        return FrozenEncodedLoader(
+            _loader(valid_df, vocab, eval_bs, False), for_model, params,
+            mesh=engine.mesh, shuffle=False)
+
     max_b = 5 if cfg.laptop else None
 
-    def make_validate(fwd_eval, allow_fallback):
+    def make_validate(fwd_eval, val_dl, allow_fallback, already_beam=False):
         streak = {"n": 0}
 
         def validate(params_dev, epoch):
             fwd = functools.partial(fwd_eval, params_dev)
-            logs = validate_tv(fwd, valid_dl, max_batches=max_b)
-            logs["val_ctc_seq_per"] = ctc_seq_per(fwd, valid_dl, max_b,
+            logs = validate_tv(fwd, val_dl, max_batches=max_b)
+            logs["val_ctc_seq_per"] = ctc_seq_per(fwd, val_dl, max_b,
                                                   log_fn=print)
             # blank-collapse guard (VERDICT r2 weak #4): a collapsed
             # recognizer makes the greedy in-step decode emit EMPTY
@@ -240,17 +313,23 @@ def run_speaker(cfg, hprc_df, vocab, test_spk, model, params, model_cfg,
             streak["n"] = streak["n"] + 1 if (
                 per >= cfg.collapse_per_threshold) else 0
             if streak["n"] >= cfg.collapse_patience:
+                if allow_fallback and cfg.collapse_fallback:
+                    tail = ", falling back to decode_method=beam_host"
+                elif already_beam:
+                    tail = ("; beam_host decode is ALREADY active, so the "
+                            "stage-1 PR checkpoint itself is likely "
+                            "degenerate — retrain or re-point "
+                            "--pr_model_path")
+                else:
+                    tail = (" (set --collapse_fallback to auto-switch to "
+                            "beam_host)")
                 print(
                     f"WARNING: in-step CTC decode collapsed — "
                     f"val_ctc_seq_per={per:.3f} >= "
                     f"{cfg.collapse_per_threshold} for {streak['n']} "
                     "consecutive epochs; the aligner is receiving "
                     "degenerate phoneme sequences.  Verify the stage-1 PR "
-                    "checkpoint is converged"
-                    + (", falling back to decode_method=beam_host"
-                       if allow_fallback and cfg.collapse_fallback else
-                       " (set --collapse_fallback to auto-switch to "
-                       "beam_host)")
+                    "checkpoint is converged" + tail
                 )
                 if allow_fallback and cfg.collapse_fallback:
                     raise _DecodeCollapse
@@ -268,9 +347,16 @@ def run_speaker(cfg, hprc_df, vocab, test_spk, model, params, model_cfg,
     fell_back = False
     can_fall_back = (model.decode_method != "beam_host"
                      and get_beam_setup is not None)
+    if cfg.cache_frozen_encodings:
+        val_fwd, val_dl = make_encoded_eval_forward(model), encoded_val_dl(
+            model)
+    else:
+        val_fwd, val_dl = eval_fwd, valid_dl
     try:
         final_params, history = fit(
-            cfg, None, params, train_dl, make_validate(eval_fwd, can_fall_back),
+            cfg, None, params, train_dl,
+            make_validate(val_fwd, val_dl, can_fall_back,
+                          already_beam=model.decode_method == "beam_host"),
             ckpt, model_cfg=model_cfg, logger=logger, engine=engine,
         )
     except _DecodeCollapse:
@@ -279,15 +365,29 @@ def run_speaker(cfg, hprc_df, vocab, test_spk, model, params, model_cfg,
         print(f"-> resuming fold {test_spk} with decode_method=beam_host "
               "from the last checkpoint")
         cfg_resume = dataclasses.replace(cfg, train_from_ckpt=True)
-        beam_dl = BeamDecodedBatches(
-            PrefetchLoader(_loader(train_df, vocab, cfg.batch_size, True,
-                                   cfg.seed)),
-            beam_model, params,
-        )
+        if cfg.cache_frozen_encodings:
+            from aptai_tpu.train.frozen_cache import FrozenEncodedLoader
+
+            beam_dl = PrefetchLoader(FrozenEncodedLoader(
+                _loader(train_df, vocab, cfg.batch_size, False),
+                beam_model, params, mesh=beam_engine.mesh, seed=cfg.seed,
+            ))
+        else:
+            beam_dl = BeamDecodedBatches(
+                PrefetchLoader(_loader(train_df, vocab, cfg.batch_size, True,
+                                       cfg.seed)),
+                beam_model, params, mesh=beam_engine.mesh,
+            )
         eval_fwd = beam_eval_fwd
+        if cfg.cache_frozen_encodings:
+            beam_val_fwd = make_encoded_eval_forward(beam_model)
+            beam_val_dl = encoded_val_dl(beam_model)
+        else:
+            beam_val_fwd, beam_val_dl = beam_eval_fwd, valid_dl
         final_params, history = fit(
             cfg_resume, None, params, beam_dl,
-            make_validate(beam_eval_fwd, False), ckpt,
+            make_validate(beam_val_fwd, beam_val_dl, False,
+                          already_beam=True), ckpt,
             model_cfg=model_cfg, logger=logger, engine=beam_engine,
         )
 
@@ -331,8 +431,10 @@ def run(cfg: ForceAPTAIConfig, tiny_backbone=None, speakers=None):
         cfg, vocab, cfg.pr_model_path, tiny=tiny_backbone
     )
     eval_fwd = make_eval_forward(model)
-    engine = make_engine(cfg, force_loss_fn(model),
-                         frozen_prefixes=("w2v2_pr",))
+    engine = make_engine(
+        cfg,
+        force_loss_fn(model, from_encoded=cfg.cache_frozen_encodings),
+        frozen_prefixes=("w2v2_pr",))
 
     _beam_cache = {}
 
@@ -346,7 +448,7 @@ def run(cfg: ForceAPTAIConfig, tiny_backbone=None, speakers=None):
             )
             _beam_cache["setup"] = (
                 bm, make_eval_forward(bm),
-                make_engine(cfg, force_loss_fn(bm),
+                make_engine(cfg, force_loss_fn(bm, from_encoded=True),
                             frozen_prefixes=("w2v2_pr",)),
             )
         return _beam_cache["setup"]

@@ -155,11 +155,15 @@ def _force_cfg(exp, hprc_csv, **kw):
 
 def test_beam_host_trainer_runs_with_prefetch(force_corpus, tmp_path_factory):
     """End-to-end beam_host fold with PrefetchLoader ACTIVE (the round-2
-    deadlock scenario).  Completion is the assertion."""
+    deadlock scenario).  Completion is the assertion.  The frozen-encoding
+    cache is disabled so the per-epoch BeamDecodedBatches path stays
+    pinned (with the cache — the default — the decode runs once at cache
+    build instead)."""
     from aptai_tpu.train import train_force_aptai
 
     exp = tmp_path_factory.mktemp("exp_beam")
-    cfg = _force_cfg(exp, force_corpus, decode_method="beam_host")
+    cfg = _force_cfg(exp, force_corpus, decode_method="beam_host",
+                     cache_frozen_encodings=False)
     mean, _, per_spk = train_force_aptai.run(cfg, tiny_backbone=tiny_config(),
                                              speakers=["M01"])
     assert np.isfinite(mean["test_N_mean_rmse"])
@@ -198,3 +202,82 @@ def test_collapse_guard_warns_without_fallback(force_corpus,
     out = capsys.readouterr().out
     assert "decode collapsed" in out
     assert mean["decode_fallback"] == 0
+
+
+def test_beam_decode_padded_out_rows():
+    """out_rows > B pads the decoded batch with zero-length sequences (the
+    serving path decodes only real rows; pad rows keep the static shape)."""
+    from aptai_tpu.decode.beam import beam_decode_padded
+
+    rng = np.random.default_rng(3)
+    lp = np.log(rng.dirichlet(np.ones(5), size=(2, 7)).astype(np.float32))
+    fl = np.array([7, 5], np.int32)
+    seqs, lens, trunc = beam_decode_padded(lp, fl, max_len=6, out_rows=4)
+    assert seqs.shape == (4, 6) and lens.shape == (4,)
+    base_seqs, base_lens, _ = beam_decode_padded(lp, fl, max_len=6)
+    np.testing.assert_array_equal(seqs[:2], base_seqs)
+    np.testing.assert_array_equal(lens[:2], base_lens)
+    assert (lens[2:] == 0).all() and (seqs[2:] == 0).all()
+    assert (trunc[2:] == 0).all()
+
+
+def test_beam_host_predictor_skips_pad_row_decode(beam_setup, monkeypatch):
+    """With 3 wavs the device batch buckets to 4 rows; the host beam search
+    (the split path's serial bottleneck) must only see the 3 real rows, and
+    the real outputs must be unchanged."""
+    import aptai_tpu.decode.beam as beam_mod
+    from aptai_tpu.infer.api import ForceAPTAIPredictor
+
+    model, params, audio, lengths, tvs = beam_setup
+    rng = np.random.default_rng(11)
+    wavs = [np.asarray(audio[0]), np.asarray(audio[1][:2400]),
+            rng.standard_normal(3000).astype(np.float32)]
+
+    seen_rows = []
+    orig = beam_mod.beam_decode_padded
+
+    def spy(log_probs, frame_lengths, max_len, out_rows=None):
+        seen_rows.append(np.asarray(log_probs).shape[0])
+        return orig(log_probs, frame_lengths, max_len, out_rows=out_rows)
+
+    monkeypatch.setattr(beam_mod, "beam_decode_padded", spy)
+    pred = ForceAPTAIPredictor(model, params)
+    got = pred.predict_batch(wavs)
+    assert seen_rows == [3]  # not 4: the bucketing pad row is never decoded
+    assert all(np.asarray(v).shape[0] == 3 for v in got.values())
+    # per-item parity: each wav alone gives the same prediction
+    for i, w in enumerate(wavs):
+        one = pred.predict_batch([w])
+        n = int(one["frame_lengths"][0])
+        np.testing.assert_allclose(
+            np.asarray(got["tvs_pred"])[i, :n],
+            np.asarray(one["tvs_pred"])[0, :n], rtol=1e-5, atol=1e-5)
+
+
+def test_beam_decoded_batches_on_mesh(beam_setup):
+    """The batch adapter's frozen-tower encode runs sharded when given a
+    mesh (multi-chip beam_host training); outputs must match the unsharded
+    adapter exactly."""
+    from aptai_tpu.parallel import make_mesh
+    from aptai_tpu.train.train_force_aptai import BeamDecodedBatches
+
+    model, params, audio, lengths, tvs = beam_setup
+    batches = [{"audio": np.asarray(audio),
+                "audio_lengths": np.asarray(lengths),
+                "tv_targets": np.asarray(tvs)}]
+
+    class L:
+        def __len__(self):
+            return 1
+
+        def __iter__(self):
+            return iter(batches)
+
+    single = list(BeamDecodedBatches(L(), model, params))[0]
+    mesh = make_mesh(data=2, model=1)
+    sharded = list(BeamDecodedBatches(L(), model, params, mesh=mesh))[0]
+    np.testing.assert_array_equal(np.asarray(single["phn_pred_seq"]),
+                                  np.asarray(sharded["phn_pred_seq"]))
+    np.testing.assert_allclose(np.asarray(single["frame_embs"]),
+                               np.asarray(sharded["frame_embs"]),
+                               rtol=1e-5, atol=1e-6)
