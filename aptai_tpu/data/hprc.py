@@ -84,6 +84,9 @@ class HPRCDataset:
               else None)
 
         return {
+            # stable per-utterance identity (manifests list each wav once);
+            # keys the fold-shared frozen-encoding cache (train/frozen_cache)
+            "utt_key": str(row.path_wav),
             "audio": np.asarray(audio, np.float32),
             "audio_len": len(audio),
             "f0": f0,

@@ -28,6 +28,13 @@ from jax import lax
 # NaN-free (−inf − −inf in logaddexp backward would poison the pullback).
 LOG_EPSILON = -1e5
 
+# lax.scan unroll for the alpha recursion: each step is a few vector ops on
+# a (2S+1,)-wide lattice, so loop-trip overhead dominates on TPU; unrolling
+# lets XLA pipeline several timesteps per trip (measured in
+# benchmarks/head_profile.py — the ForwardSum fwd+bwd pass was the FORCE
+# head's single largest cost before this).
+ALPHA_SCAN_UNROLL = 8
+
 
 def _extended_targets(targets: jnp.ndarray, blank: int) -> jnp.ndarray:
     """Interleave blanks: (S,) -> (2S+1,) = [b, t0, b, t1, ..., b]."""
@@ -56,12 +63,16 @@ def _ctc_alpha_scan(
     # Positions beyond the true extended length are invalid.
     valid = pos < (2 * target_length + 1)
 
-    emit0 = log_probs[0][ext]
-    alpha0 = jnp.where(pos == 0, emit0, LOG_EPSILON)
-    alpha0 = jnp.where((pos == 1) & valid, emit0, alpha0)
+    # Hoist the emission gather out of the recursion: one (T, L) gather
+    # here instead of a per-step (L,) gather inside the loop body (the scan
+    # is latency-bound; anything movable out of the trip should move).
+    emit = log_probs[:, ext]  # (T, L)
 
-    def step(alpha, lp_t):
-        t, lp = lp_t
+    alpha0 = jnp.where(pos == 0, emit[0], LOG_EPSILON)
+    alpha0 = jnp.where((pos == 1) & valid, emit[0], alpha0)
+
+    def step(alpha, te):
+        t, e = te
         from_self = alpha
         from_prev = jnp.concatenate(
             [jnp.full((1,), LOG_EPSILON, alpha.dtype), alpha[:-1]]
@@ -71,13 +82,14 @@ def _ctc_alpha_scan(
         )
         from_skip = jnp.where(allow_skip, from_skip, LOG_EPSILON)
         merged = jnp.logaddexp(jnp.logaddexp(from_self, from_prev), from_skip)
-        new_alpha = jnp.where(valid, merged + lp[ext], LOG_EPSILON)
+        new_alpha = jnp.where(valid, merged + e, LOG_EPSILON)
         # Freeze the recursion past the true input length.
         new_alpha = jnp.where(t < input_length, new_alpha, alpha)
         return new_alpha, None
 
     t_steps = jnp.arange(1, log_probs.shape[0])
-    alpha, _ = lax.scan(step, alpha0, (t_steps, log_probs[1:]))
+    alpha, _ = lax.scan(step, alpha0, (t_steps, emit[1:]),
+                        unroll=ALPHA_SCAN_UNROLL)
 
     last = 2 * target_length       # final blank position
     second = jnp.maximum(last - 1, 0)  # final label position

@@ -27,6 +27,13 @@ import jax.numpy as jnp
 from jax import lax
 
 
+# lax.scan unroll factor: the cell body is a handful of tiny GEMMs, so the
+# per-iteration loop overhead dominates on TPU; unrolling lets XLA pipeline
+# several timesteps per loop trip.  8 measured best among {1, 4, 8, 16} at
+# the FORCE head shapes (benchmarks/head_profile.py).
+SCAN_UNROLL = 8
+
+
 class LSTMParams(NamedTuple):
     """Weights in torch layout: w_ih (4H, I), w_hh (4H, H), b_ih (4H,), b_hh (4H,)."""
 
@@ -91,7 +98,7 @@ def lstm(
     h0 = jnp.zeros((b, hdim), x.dtype)
     c0 = jnp.zeros((b, hdim), x.dtype)
     (h_n, c_n), outs = lax.scan(
-        step, (h0, c0), (x.transpose(1, 0, 2), mask.T)
+        step, (h0, c0), (x.transpose(1, 0, 2), mask.T), unroll=SCAN_UNROLL
     )
     outs = outs.transpose(1, 0, 2)  # (B, T, H)
 
@@ -113,7 +120,50 @@ def bilstm(
 
     Equivalent to torch ``nn.LSTM(bidirectional=True, batch_first=True)`` fed
     packed sequences (reference models/modules.py:197, 205-208).
-    """
-    out_f, state_f = lstm(x, lengths, fwd, reverse=False)
-    out_b, state_b = lstm(x, lengths, bwd, reverse=True)
+
+    Both directions run in ONE ``lax.scan`` over a direction-stacked batch
+    (the backward direction sees inputs time-reversed within each valid
+    length): the scan is latency-bound, so halving the sequential step
+    count beats two back-to-back scans; per-direction math is unchanged."""
+    b, t, _ = x.shape
+    hdim = fwd.w_hh.shape[1]
+    lengths = lengths.astype(jnp.int32)
+
+    rev_idx = jnp.maximum(
+        lengths[:, None] - 1 - jnp.arange(t)[None, :], 0
+    )[:, :, None]
+    x_rev = jnp.take_along_axis(x, rev_idx, axis=1)
+    xs = jnp.stack([x, x_rev])                       # (2, B, T, I)
+    w_ih = jnp.stack([fwd.w_ih, bwd.w_ih])           # (2, 4H, I)
+    w_hh = jnp.stack([fwd.w_hh, bwd.w_hh])           # (2, 4H, H)
+    bias = jnp.stack(
+        [fwd.b_ih + fwd.b_hh, bwd.b_ih + bwd.b_hh]
+    )[:, None, :]                                    # (2, 1, 4H)
+    mask = (jnp.arange(t)[None, :] < lengths[:, None]).astype(x.dtype)
+
+    def step(carry, inp):
+        h, c = carry                                 # (2, B, H) each
+        x_t, m_t = inp                               # (2, B, I), (B,)
+        gates = (jnp.einsum("dbi,dgi->dbg", x_t, w_ih)
+                 + jnp.einsum("dbh,dgh->dbg", h, w_hh) + bias)
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+        m = m_t[None, :, None]
+        h = m * h_new + (1 - m) * h                  # freeze past length
+        c = m * c_new + (1 - m) * c
+        return (h, c), h_new * m
+
+    h0 = jnp.zeros((2, b, hdim), x.dtype)
+    c0 = jnp.zeros((2, b, hdim), x.dtype)
+    (h_n, c_n), outs = lax.scan(
+        step, (h0, c0), (xs.transpose(2, 0, 1, 3), mask.T),
+        unroll=SCAN_UNROLL,
+    )
+    out_f = outs[:, 0].transpose(1, 0, 2)            # (B, T, H)
+    out_b = jnp.take_along_axis(
+        outs[:, 1].transpose(1, 0, 2), rev_idx, axis=1
+    ) * mask[:, :, None]
+    state_f = (h_n[0], c_n[0])
+    state_b = (h_n[1], c_n[1])
     return jnp.concatenate([out_f, out_b], axis=-1), (state_f, state_b)

@@ -135,10 +135,12 @@ def build_force_model(cfg_train, vocab: Dict[str, int],
         jnp.zeros((1, 200, 9)),
     )
     params = dict(variables["params"])
+    spliced = False
     if pr_model_path is not None:
         ckpt_file = Path(pr_model_path) / "best-model-ckpt" / "params.msgpack"
         if ckpt_file.exists():
             params["w2v2_pr"] = load_pytree(ckpt_file, params["w2v2_pr"])
+            spliced = True
         elif (Path(pr_model_path) / "best-model-ckpt"
               / "pytorch_model.bin").exists():
             # reference-format torch checkpoint (pytorch_model.bin)
@@ -149,6 +151,11 @@ def build_force_model(cfg_train, vocab: Dict[str, int],
                     / "pytorch_model.bin"))
             params["w2v2_pr"] = convert_w2v2_pr(
                 sd, backbone.num_hidden_layers)
+            spliced = True
+    # pr_spliced ⇒ the frozen tower is the CHECKPOINT's weights, identical
+    # in every LOSO fold (fold re-inits only reroll the head) — the
+    # precondition for sharing one frozen-encoding cache across folds
     model_cfg = {"backbone": dataclasses.asdict(backbone), "vocab": vocab,
-                 "kind": "force_aptai", "pr_model_path": str(pr_model_path)}
+                 "kind": "force_aptai", "pr_model_path": str(pr_model_path),
+                 "pr_spliced": spliced}
     return model, params, model_cfg

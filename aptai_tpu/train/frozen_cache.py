@@ -8,24 +8,31 @@ step of every epoch (reference train/train_force_aptai.py:403-429 →
 force_aptai.py:80-115).  That is ~99.8% of the step FLOPs spent
 re-deriving values that cannot change across the run.
 
-:class:`FrozenEncodedLoader` removes the waste: it runs the tower (and the
-in-step CTC decode) exactly ONCE per utterance at construction, caches the
-trimmed per-utterance outputs on the host, and then serves shuffled,
-frame-bucketed batches of encodings every epoch — the train step becomes
-the ~0.5M-parameter head alone (``train_from_encoded``).  Numerics are
-those of the direct step up to audio-bucketing float tolerance (the same
-tolerance batched-vs-single inference carries; pinned in
-tests/test_frozen_cache.py).
+This module removes the waste at two scopes:
 
-Works for both decode methods: greedy decodes on device inside the cache
-pass; beam_host beam-decodes each utterance once on the host — after which
-the *training* cost of beam_host equals greedy's.
+* :class:`FrozenEncodedLoader` — one fold: run the tower (and the in-step
+  CTC decode) exactly ONCE per utterance at construction, cache the
+  trimmed per-utterance outputs on the host, then serve shuffled,
+  frame-bucketed batches of encodings every epoch — the train step becomes
+  the ~0.5M-parameter head alone (``train_from_encoded``).
+* :class:`FrozenEncodedCorpus` — one LOSO run: when the tower comes from a
+  spliced PR checkpoint it is identical in every fold (fold re-inits only
+  reroll the head), so the corpus is encoded ONCE and each fold draws its
+  train/val subsets from the shared cache (items keyed by the manifest's
+  ``path_wav``).
+
+Numerics are those of the direct step up to audio-bucketing float
+tolerance (the same tolerance batched-vs-single inference carries; pinned
+in tests/test_frozen_cache.py).  Works for both decode methods: greedy
+decodes on device inside the cache pass; beam_host beam-decodes each
+utterance once on the host — after which the *training* cost of beam_host
+equals greedy's.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import jax
 import numpy as np
@@ -60,6 +67,78 @@ def _cache_encode_fn(model):
         return out
 
     return jax.jit(fn)
+
+
+def _place(model, params, mesh):
+    """(params placed on device(s), effective mesh or None)."""
+    mesh = mesh if mesh is not None and mesh.devices.size > 1 else None
+    if mesh is not None:
+        from aptai_tpu.parallel import shard_tree
+
+        return shard_tree(mesh, params), mesh
+    return jax.device_put(params), None
+
+
+def _encode_items(loader, model, params, mesh) -> List[Dict]:
+    """The one-time cache pass: consume ``loader`` (``collate_tv`` batches),
+    run the tower (sharded over ``mesh`` when given) + the in-step decode,
+    and return trimmed per-utterance cache items in emission order."""
+    params, mesh = _place(model, params, mesh)
+    enc_fn = _cache_encode_fn(model)
+    beam = model.decode_method == "beam_host"
+    items: List[Dict] = []
+    for batch in loader:
+        if mesh is not None:
+            from aptai_tpu.parallel import shard_batch
+
+            with mesh:
+                sb = shard_batch(mesh, {
+                    "audio": batch["audio"],
+                    "audio_lengths": batch["audio_lengths"],
+                })
+                enc = enc_fn(params, sb["audio"], sb["audio_lengths"])
+        else:
+            enc = enc_fn(params, batch["audio"], batch["audio_lengths"])
+        mask = np.asarray(batch.get(
+            "batch_pad_mask", np.ones(len(batch["audio"]), bool)))
+        fl = np.asarray(enc["frame_lengths"])
+        if beam:
+            from aptai_tpu.decode.beam import beam_decode_padded
+
+            n = int(mask.sum())  # real rows lead (BucketedLoader contract)
+            seqs, sl, tr = beam_decode_padded(
+                enc["ctc_log_probs"][:n], fl[:n],
+                model.max_phn_seq_len, out_rows=len(mask),
+            )
+        else:
+            seqs = np.asarray(enc["phn_pred_seq"])
+            sl = np.asarray(enc["phn_seq_lengths"])
+            tr = np.asarray(enc["phn_seq_truncated"])
+        embs = np.asarray(enc["frame_embs"])
+        tvs = np.asarray(batch["tv_targets"])
+        labels = np.asarray(batch["phoneme_labels"])
+        fl_raw = np.asarray(batch.get("frame_lengths", fl))
+        phn_frames = np.asarray(batch.get(
+            "phn_frames", np.zeros(embs.shape[:2], np.int32)))
+        keys = batch.get("utt_keys")
+        for b in range(len(mask)):
+            if not mask[b]:
+                continue  # repeat-padded partial-batch row
+            t = int(fl[b])
+            lab = labels[b]
+            items.append({
+                "utt_key": None if keys is None else keys[b],
+                "frame_embs": embs[b, :t],
+                "frame_length": t,
+                "frame_length_raw": int(fl_raw[b]),
+                "phn_pred_seq": seqs[b],
+                "phn_seq_length": int(sl[b]),
+                "phn_seq_truncated": int(tr[b]),
+                "tv_targets": tvs[b, :t],
+                "phn_frames": phn_frames[b, :t],
+                "phoneme_label": lab[lab != CTC_LABEL_PAD_ID],
+            })
+    return items
 
 
 def collate_encoded(items: Sequence[Dict], bucket: bool = True) -> Dict:
@@ -108,82 +187,14 @@ class _CachedItems:
         return self.items[i]
 
 
-class FrozenEncodedLoader(BucketedLoader):
-    """Epoch iterator over cached frozen-tower encodings.
+class EncodedItemsLoader(BucketedLoader):
+    """Shuffled, frame-width-bucketed batches over cached encoding items;
+    feeds ``ForceAPTAI.train_from_encoded`` directly."""
 
-    ``loader``: a batch loader over the raw corpus (``collate_tv`` batches
-    with ``batch_pad_mask``) consumed ONCE at construction to build the
-    cache; afterwards this object is a shuffled, frame-width-bucketed
-    loader whose batches feed ``ForceAPTAI.train_from_encoded`` directly.
-    ``mesh``: the tower encode shards over it like the train step
-    (multi-chip cache build)."""
-
-    def __init__(self, loader, model, params, mesh=None, shuffle=True,
-                 seed: int = 0):
-        self.model = model
-        self._beam = model.decode_method == "beam_host"
-        mesh = mesh if mesh is not None and mesh.devices.size > 1 else None
-        if mesh is not None:
-            from aptai_tpu.parallel import shard_tree
-
-            params = shard_tree(mesh, params)
-        else:
-            params = jax.device_put(params)
-        enc_fn = _cache_encode_fn(model)
-        items: List[Dict] = []
-        for batch in loader:
-            if mesh is not None:
-                from aptai_tpu.parallel import shard_batch
-
-                with mesh:
-                    sb = shard_batch(mesh, {
-                        "audio": batch["audio"],
-                        "audio_lengths": batch["audio_lengths"],
-                    })
-                    enc = enc_fn(params, sb["audio"], sb["audio_lengths"])
-            else:
-                enc = enc_fn(params, batch["audio"],
-                             batch["audio_lengths"])
-            mask = np.asarray(batch.get(
-                "batch_pad_mask", np.ones(len(batch["audio"]), bool)))
-            fl = np.asarray(enc["frame_lengths"])
-            if self._beam:
-                from aptai_tpu.decode.beam import beam_decode_padded
-
-                n = int(mask.sum())  # real rows only (leading by contract)
-                seqs, sl, tr = beam_decode_padded(
-                    enc["ctc_log_probs"][:n], fl[:n],
-                    model.max_phn_seq_len, out_rows=len(mask),
-                )
-            else:
-                seqs = np.asarray(enc["phn_pred_seq"])
-                sl = np.asarray(enc["phn_seq_lengths"])
-                tr = np.asarray(enc["phn_seq_truncated"])
-            embs = np.asarray(enc["frame_embs"])
-            tvs = np.asarray(batch["tv_targets"])
-            labels = np.asarray(batch["phoneme_labels"])
-            fl_raw = np.asarray(batch.get("frame_lengths", fl))
-            phn_frames = np.asarray(batch.get(
-                "phn_frames",
-                np.zeros(embs.shape[:2], np.int32)))
-            for b in range(len(mask)):
-                if not mask[b]:
-                    continue  # repeat-padded partial-batch row
-                t = int(fl[b])
-                lab = labels[b]
-                items.append({
-                    "frame_embs": embs[b, :t],
-                    "frame_length": t,
-                    "frame_length_raw": int(fl_raw[b]),
-                    "phn_pred_seq": seqs[b],
-                    "phn_seq_length": int(sl[b]),
-                    "phn_seq_truncated": int(tr[b]),
-                    "tv_targets": tvs[b, :t],
-                    "phn_frames": phn_frames[b, :t],
-                    "phoneme_label": lab[lab != CTC_LABEL_PAD_ID],
-                })
+    def __init__(self, items: List[Dict], batch_size: int,
+                 shuffle: bool = True, seed: int = 0):
         super().__init__(
-            _CachedItems(items), batch_size=loader.batch_size,
+            _CachedItems(items), batch_size=batch_size,
             collate_fn=collate_encoded, shuffle=shuffle, seed=seed,
         )
 
@@ -193,3 +204,54 @@ class FrozenEncodedLoader(BucketedLoader):
     @property
     def cache_bytes(self) -> int:
         return sum(x["frame_embs"].nbytes for x in self.dataset.items)
+
+
+class FrozenEncodedLoader(EncodedItemsLoader):
+    """Per-fold cache: consume ``loader`` (``collate_tv`` batches) ONCE at
+    construction to encode + decode every utterance, then iterate as an
+    :class:`EncodedItemsLoader`."""
+
+    def __init__(self, loader, model, params, mesh=None, shuffle=True,
+                 seed: int = 0):
+        super().__init__(
+            _encode_items(loader, model, params, mesh),
+            batch_size=loader.batch_size, shuffle=shuffle, seed=seed,
+        )
+
+
+class FrozenEncodedCorpus:
+    """LOSO-run-wide cache: encode the WHOLE manifest once (valid when the
+    frozen tower is fold-invariant, i.e. spliced from a PR checkpoint —
+    ``model_cfg['pr_spliced']``), then hand each fold loaders over its
+    train/val subsets without re-running the tower per fold."""
+
+    def __init__(self, df, vocab, model, params, batch_size: int,
+                 mesh=None):
+        from aptai_tpu.data import HPRCDataset, collate_tv
+
+        def collate_with_keys(items):
+            out = collate_tv(items)
+            out["utt_keys"] = [x["utt_key"] for x in items]
+            return out
+
+        loader = BucketedLoader(
+            HPRCDataset(df, vocab, rate="both"), batch_size=batch_size,
+            collate_fn=collate_with_keys, shuffle=False,
+        )
+        items = _encode_items(loader, model, params, mesh)
+        self.by_key: Dict[str, Dict] = {it["utt_key"]: it for it in items}
+        assert len(self.by_key) == len(items), \
+            "manifest has duplicate path_wav entries"
+
+    @property
+    def cache_bytes(self) -> int:
+        return sum(x["frame_embs"].nbytes for x in self.by_key.values())
+
+    def __len__(self):
+        return len(self.by_key)
+
+    def loader_for(self, fold_df, batch_size: int, shuffle: bool = True,
+                   seed: int = 0) -> EncodedItemsLoader:
+        items = [self.by_key[str(p)] for p in fold_df.path_wav]
+        return EncodedItemsLoader(items, batch_size, shuffle=shuffle,
+                                  seed=seed)

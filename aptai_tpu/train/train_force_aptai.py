@@ -250,8 +250,36 @@ class _DecodeCollapse(Exception):
     """Raised by the validation guard to trigger the beam_host fallback."""
 
 
+class _TowerMergingCkpt:
+    """CheckpointManager adapter for the head-only train state (cache
+    mode): every save merges the constant frozen tower back in, so on-disk
+    checkpoints remain full-model (predictors and build_force_model load
+    them unchanged); restores strip it again for the slim state."""
+
+    def __init__(self, inner: CheckpointManager, tower_host):
+        self._inner = inner
+        self._tower = tower_host
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+    def update(self, epoch, metrics, params, **kw):
+        return self._inner.update(epoch, metrics,
+                                  {**params, **self._tower}, **kw)
+
+    def restore_last(self, params_example, opt_state_example=None):
+        p, o, meta = self._inner.restore_last(
+            {**params_example, **self._tower}, opt_state_example)
+        head = {k: v for k, v in p.items() if k not in self._tower}
+        return head, o, meta
+
+    def restore_best(self, params_example):
+        return self._inner.restore_best(
+            {**params_example, **self._tower})
+
+
 def run_speaker(cfg, hprc_df, vocab, test_spk, model, params, model_cfg,
-                eval_fwd, engine, get_beam_setup=None):
+                eval_fwd, engine, get_beam_setup=None, corpus_cache=None):
     # donation-proof host copy: the jitted train step donates its state, so
     # the device buffers behind `params` die with the first fit() — but the
     # collapse fallback and the beam batch adapter need them again
@@ -265,14 +293,18 @@ def run_speaker(cfg, hprc_df, vocab, test_spk, model, params, model_cfg,
     # callback in the step (split decode — see force_loss_fn), so the
     # producer thread is safe in both decode modes
     if cfg.cache_frozen_encodings:
-        from aptai_tpu.train.frozen_cache import FrozenEncodedLoader
+        if corpus_cache is not None:
+            enc_dl = corpus_cache.loader_for(train_df, cfg.batch_size,
+                                             seed=cfg.seed)
+        else:
+            from aptai_tpu.train.frozen_cache import FrozenEncodedLoader
 
-        enc_dl = FrozenEncodedLoader(
-            _loader(train_df, vocab, cfg.batch_size, False),
-            model, params, mesh=engine.mesh, seed=cfg.seed,
-        )
-        print(f"frozen-tower cache: {len(enc_dl.dataset)} utterances, "
-              f"{enc_dl.cache_bytes / 1e6:.1f} MB host")
+            enc_dl = FrozenEncodedLoader(
+                _loader(train_df, vocab, cfg.batch_size, False),
+                model, params, mesh=engine.mesh, seed=cfg.seed,
+            )
+            print(f"frozen-tower cache: {len(enc_dl.dataset)} utterances, "
+                  f"{enc_dl.cache_bytes / 1e6:.1f} MB host")
         train_dl = PrefetchLoader(enc_dl)
     else:
         train_dl = PrefetchLoader(
@@ -287,6 +319,10 @@ def run_speaker(cfg, hprc_df, vocab, test_spk, model, params, model_cfg,
     def encoded_val_dl(for_model):
         """Per-epoch validation re-runs the frozen tower over the SAME val
         set; with the cache it runs once here and validation is head-only."""
+        if corpus_cache is not None and for_model is model:
+            # the fold-shared cache holds this tower's (greedy) encodings;
+            # the beam fallback model re-encodes with its own decode
+            return corpus_cache.loader_for(valid_df, eval_bs, shuffle=False)
         from aptai_tpu.train.frozen_cache import FrozenEncodedLoader
 
         return FrozenEncodedLoader(
@@ -341,6 +377,18 @@ def run_speaker(cfg, hprc_df, vocab, test_spk, model, params, model_cfg,
         exp_dir / f"best-model-ckpt-{test_spk}", cfg.target_metric,
         bigger_is_better=cfg.target_metric_bigger_better,
     )
+    if cfg.cache_frozen_encodings:
+        # the encoded step never touches the tower, so the ~315M frozen
+        # params stay OUT of the TrainState: materializing their zero
+        # gradients + the masked-Adam passthrough + moving the donated
+        # state cost ~2× the real head step (benchmarks/force_cache_ab.py:
+        # 20.6 → 10.8 ms/step head-only).  Checkpoints stay full-model via
+        # the merging adapter.
+        tower_host = {"w2v2_pr": params["w2v2_pr"]}
+        fit_params = {k: v for k, v in params.items() if k != "w2v2_pr"}
+        ckpt = _TowerMergingCkpt(ckpt, tower_host)
+    else:
+        fit_params = params
     logger = RunLogger(Path(cfg.exp_dir), "FORCE_APTAI",
                        run_name=f"{cfg.prefix}_{test_spk}",
                        use_wandb=cfg.logging)
@@ -354,7 +402,7 @@ def run_speaker(cfg, hprc_df, vocab, test_spk, model, params, model_cfg,
         val_fwd, val_dl = eval_fwd, valid_dl
     try:
         final_params, history = fit(
-            cfg, None, params, train_dl,
+            cfg, None, fit_params, train_dl,
             make_validate(val_fwd, val_dl, can_fall_back,
                           already_beam=model.decode_method == "beam_host"),
             ckpt, model_cfg=model_cfg, logger=logger, engine=engine,
@@ -385,7 +433,7 @@ def run_speaker(cfg, hprc_df, vocab, test_spk, model, params, model_cfg,
         else:
             beam_val_fwd, beam_val_dl = beam_eval_fwd, valid_dl
         final_params, history = fit(
-            cfg_resume, None, params, beam_dl,
+            cfg_resume, None, fit_params, beam_dl,
             make_validate(beam_val_fwd, beam_val_dl, False,
                           already_beam=True), ckpt,
             model_cfg=model_cfg, logger=logger, engine=beam_engine,
@@ -436,6 +484,19 @@ def run(cfg: ForceAPTAIConfig, tiny_backbone=None, speakers=None):
         force_loss_fn(model, from_encoded=cfg.cache_frozen_encodings),
         frozen_prefixes=("w2v2_pr",))
 
+    # fold-invariant tower (spliced PR checkpoint) ⇒ encode the whole
+    # corpus ONCE and share the cache across all LOSO folds; a random
+    # (unspliced) tower differs per fold seed, so each fold encodes its own
+    corpus_cache = None
+    if cfg.cache_frozen_encodings and model_cfg.get("pr_spliced"):
+        from aptai_tpu.train.frozen_cache import FrozenEncodedCorpus
+
+        corpus_cache = FrozenEncodedCorpus(
+            hprc_df, vocab, model, params, cfg.batch_size, mesh=engine.mesh)
+        print(f"corpus frozen-tower cache: {len(corpus_cache)} utterances, "
+              f"{corpus_cache.cache_bytes / 1e6:.1f} MB host "
+              "(shared across LOSO folds)")
+
     _beam_cache = {}
 
     def get_beam_setup():
@@ -464,7 +525,8 @@ def run(cfg: ForceAPTAIConfig, tiny_backbone=None, speakers=None):
         per_speaker.append(
             run_speaker(cfg, hprc_df, vocab, test_spk, model, params,
                         model_cfg, eval_fwd, engine,
-                        get_beam_setup=get_beam_setup)
+                        get_beam_setup=get_beam_setup,
+                        corpus_cache=corpus_cache)
         )
     mean, std = aggregate_mean_std(per_speaker)
     dict_to_csv(mean, exp_dir / "loso_mean.csv")

@@ -87,7 +87,7 @@ def test_aptai_trainer_smoke(corpora, tmp_path_factory):
 
 
 def test_force_trainer_smoke_with_pr_checkpoint(corpora, pr_run,
-                                                tmp_path_factory):
+                                                tmp_path_factory, capsys):
     _, hprc_csv = corpora
     pr_cfg, _, _ = pr_run
     exp = tmp_path_factory.mktemp("exp_force")
@@ -106,6 +106,9 @@ def test_force_trainer_smoke_with_pr_checkpoint(corpora, pr_run,
     assert np.isfinite(mean["test_N_mean_rmse"])
     assert "test_N_ctc_seq_per" in mean
     assert (Path(cfg.exp_dir) / "loso_mean.csv").exists()
+    # a spliced PR checkpoint makes the tower fold-invariant, so the
+    # frozen-encoding cache must be built ONCE for the whole LOSO run
+    assert "corpus frozen-tower cache" in capsys.readouterr().out
 
 
 def test_pr_trainer_loss_decreases(tmp_path_factory):

@@ -131,3 +131,60 @@ def test_cached_trainer_end_to_end(tmp_path_factory):
     mean, _, _ = train_force_aptai.run(cfg, tiny_backbone=tiny_config(),
                                        speakers=["M01"])
     assert np.isfinite(mean["test_N_mean_rmse"])
+
+
+def test_corpus_cache_shared_across_folds(tmp_path_factory):
+    """FrozenEncodedCorpus encodes the manifest once; fold loaders drawn
+    from it serve exactly their subset, with encodings matching a per-fold
+    FrozenEncodedLoader built over the same rows."""
+    from aptai_tpu.data import make_synthetic_hprc
+    from aptai_tpu.data.hprc import HPRCDataset
+    from aptai_tpu.data.vocab import build_vocab
+    from aptai_tpu.data.batching import BucketedLoader, collate_tv
+    from aptai_tpu.train.frozen_cache import FrozenEncodedCorpus
+    import pandas as pd
+
+    root = tmp_path_factory.mktemp("corpus_cache")
+    cfg = tiny_config()
+    csv = make_synthetic_hprc(root / "hprc", utts_per_speaker=2, cfg=cfg)
+    df = pd.read_csv(csv)
+    vocab = build_vocab(df.phoneme_labels)
+    model = ForceAPTAI(cfg, vocab_size=len(vocab))
+    ds = HPRCDataset(df, vocab, rate="both")
+    item = ds[0]
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(item["audio"][None]),
+        jnp.asarray(np.array([item["audio_len"]], np.int32)),
+        jnp.zeros((1, 50, 9)))
+    params = variables["params"]
+
+    corpus = FrozenEncodedCorpus(df, vocab, model, params, batch_size=2)
+    assert len(corpus) == len(df)
+
+    sub = df[df.speaker == "M01"]
+    fold_dl = corpus.loader_for(sub, batch_size=2, shuffle=False)
+    served = sum(int(b["batch_pad_mask"].sum()) for b in fold_dl)
+    assert served == len(sub)
+
+    # per-fold loader over the same rows produces the same encodings
+    per_fold = FrozenEncodedLoader(
+        BucketedLoader(HPRCDataset(sub, vocab, rate="both"), 2, collate_tv,
+                       shuffle=False),
+        model, params, shuffle=False)
+    # match per-fold items to corpus items by their exact TV target bytes
+    # (the targets pass through both paths unchanged and identify the
+    # utterance uniquely — frame lengths alone can collide)
+    by_tv = {np.asarray(it["tv_targets"], np.float32).tobytes(): it
+             for it in (corpus.by_key[str(p)] for p in sub.path_wav)}
+    matched = 0
+    for it in per_fold.dataset.items:
+        twin = by_tv[np.asarray(it["tv_targets"], np.float32).tobytes()]
+        matched += 1
+        np.testing.assert_allclose(
+            np.asarray(it["frame_embs"], np.float32),
+            np.asarray(twin["frame_embs"], np.float32),
+            rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(it["phn_pred_seq"],
+                                      twin["phn_pred_seq"])
+    assert matched == len(sub)
