@@ -9,6 +9,8 @@ from aptai_tpu.infer.api import (
 from aptai_tpu.infer.streaming import (StreamingAPTAI, StreamingForceAPTAI,
                                        StreamingPredictor)
 from aptai_tpu.infer.server import MicroBatcher
+from aptai_tpu.infer.export import (ServingBundle, load_serving_bundle,
+                                    save_serving_bundle)
 
 __all__ = [
     "APTAIPredictor",
@@ -18,4 +20,7 @@ __all__ = [
     "StreamingForceAPTAI",
     "StreamingPredictor",
     "MicroBatcher",
+    "ServingBundle",
+    "load_serving_bundle",
+    "save_serving_bundle",
 ]

@@ -1,0 +1,181 @@
+"""AOT serving export: freeze a predictor forward into a self-contained
+on-disk bundle that serves WITHOUT the framework's model code.
+
+Deployment story the reference does not have (its inference surfaces are
+eager torch methods on live model objects — reference models/aptai.py:125,
+force_aptai.py:238, w2v2_pr.py:191): ``save_serving_bundle`` lowers the
+jitted forward once through :mod:`jax.export` (StableHLO, multi-platform —
+the same artifact runs on CPU and TPU) and writes
+
+    <dir>/forward.stablehlo   the serialized computation
+    <dir>/params.npz          weights, flat path → array
+    <dir>/meta.json           static serving shape + field list + dtypes
+
+``load_serving_bundle`` reconstructs a batched predictor from those three
+files alone — no Flax module, no model config, no framework version pin
+beyond jax.export's own compatibility guarantees — so a serving host needs
+only jax + numpy.
+
+The exported program has ONE static shape (the bundle's serving shape),
+exactly like the live serving path (infer/server.py pads to one shape to
+keep XLA compiles out of the request path); longer inputs are rejected
+with the re-export hint, larger request lists are chunked.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+from aptai_tpu import SAMPLE_RATE
+
+_FORWARD = "forward.stablehlo"
+_PARAMS = "params.npz"
+_META = "meta.json"
+
+
+def _flatten(tree, prefix="") -> Dict[str, np.ndarray]:
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}/{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            out.update(_flatten(v, key))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def _unflatten(flat: Dict[str, np.ndarray]):
+    tree: Dict = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
+def save_serving_bundle(
+    out_dir,
+    model,
+    params,
+    *,
+    method: str = "predict",
+    batch: int = 16,
+    seconds: float = 2.0,
+    fields: Optional[Sequence[str]] = None,
+    transfer_dtype: str = "float32",
+    platforms: Sequence[str] = ("cpu", "tpu"),
+) -> Path:
+    """Export ``model.<method>`` at the static serving shape
+    ``(batch, seconds·16k)`` and write the bundle to ``out_dir``.
+
+    ``fields`` restricts the exported outputs exactly like
+    ``predict_batch(fields=...)`` (XLA dead-code-eliminates unserved heads
+    from the artifact itself).  ``transfer_dtype="int16"`` bakes the
+    on-device dequantization in, halving the serving upload
+    (infer/api.py:quantize_i16)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    from aptai_tpu.infer.api import dequantize_i16
+
+    samples = int(seconds * SAMPLE_RATE)
+
+    def fwd(p, audio, lengths):
+        if audio.dtype == jnp.int16:
+            audio = dequantize_i16(audio)
+        out = model.apply({"params": p}, audio, lengths, method=method)
+        if fields is not None:
+            unknown = set(fields) - set(out)
+            if unknown:
+                raise ValueError(
+                    f"unknown output field(s) {sorted(unknown)}; "
+                    f"{type(model).__name__}.{method} produces {sorted(out)}"
+                )
+            keep = set(fields) | {"frame_lengths"}
+            out = {k: v for k, v in out.items() if k in keep}
+        return out
+
+    audio_dtype = jnp.int16 if transfer_dtype == "int16" else jnp.float32
+    params_spec = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
+        params,
+    )
+    exported = jexport.export(jax.jit(fwd), platforms=tuple(platforms))(
+        params_spec,
+        jax.ShapeDtypeStruct((batch, samples), audio_dtype),
+        jax.ShapeDtypeStruct((batch,), jnp.int32),
+    )
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    (out_dir / _FORWARD).write_bytes(exported.serialize())
+    np.savez(out_dir / _PARAMS, **_flatten(params))
+    (out_dir / _META).write_text(json.dumps({
+        "model": type(model).__name__,
+        "method": method,
+        "batch": batch,
+        "samples": samples,
+        "fields": list(fields) if fields is not None else None,
+        "transfer_dtype": transfer_dtype,
+        "platforms": list(platforms),
+        "sample_rate": SAMPLE_RATE,
+    }, indent=2))
+    return out_dir
+
+
+class ServingBundle:
+    """A loaded bundle: batched prediction from the artifact alone."""
+
+    def __init__(self, bundle_dir):
+        from jax import export as jexport
+
+        bundle_dir = Path(bundle_dir)
+        self.meta = json.loads((bundle_dir / _META).read_text())
+        with np.load(bundle_dir / _PARAMS) as z:
+            self.params = _unflatten({k: z[k] for k in z.files})
+        self._exported = jexport.deserialize(
+            (bundle_dir / _FORWARD).read_bytes())
+
+    def predict_batch(self, wavs: Sequence[np.ndarray]) -> Dict:
+        """Pad/chunk to the exported static shape, run, and return every
+        output with leading dim ``len(wavs)`` (same contract as the live
+        ``predict_batch``)."""
+        from aptai_tpu.infer.api import quantize_i16
+
+        batch = int(self.meta["batch"])
+        samples = int(self.meta["samples"])
+        too_long = [i for i, w in enumerate(wavs) if len(w) > samples]
+        if too_long:
+            raise ValueError(
+                f"input(s) {too_long} exceed the exported serving shape of "
+                f"{samples} samples ({samples / SAMPLE_RATE:.1f} s); "
+                "re-export with a larger `seconds`"
+            )
+        parts = []
+        for lo in range(0, len(wavs), batch):
+            group = wavs[lo:lo + batch]
+            audio = np.zeros((batch, samples), np.float32)
+            lengths = np.zeros((batch,), np.int32)
+            for i, w in enumerate(group):
+                audio[i, : len(w)] = np.asarray(w, np.float32)
+                lengths[i] = len(w)
+            # pad rows: full-length silence (infer/api.py:_prepare contract)
+            lengths[len(group):] = samples
+            if self.meta["transfer_dtype"] == "int16":
+                audio = quantize_i16(audio)
+            out = self._exported.call(self.params, audio, lengths)
+            parts.append({k: np.asarray(v)[: len(group)]
+                          for k, v in out.items()})
+        return {k: np.concatenate([p[k] for p in parts], axis=0)
+                for k in parts[0]}
+
+
+def load_serving_bundle(bundle_dir) -> ServingBundle:
+    return ServingBundle(bundle_dir)

@@ -28,12 +28,13 @@ from jax import lax
 # NaN-free (−inf − −inf in logaddexp backward would poison the pullback).
 LOG_EPSILON = -1e5
 
-# lax.scan unroll for the alpha recursion: each step is a few vector ops on
-# a (2S+1,)-wide lattice, so loop-trip overhead dominates on TPU; unrolling
-# lets XLA pipeline several timesteps per trip (measured in
-# benchmarks/head_profile.py — the ForwardSum fwd+bwd pass was the FORCE
-# head's single largest cost before this).
-ALPHA_SCAN_UNROLL = 8
+# lax.scan unroll for the alpha recursion.  Measured (benchmarks/
+# head_profile.py sweep on the chip): unrolling HURTS here — fwd+bwd
+# 2.46 / 2.73 / 2.86 ms at unroll 1 / 4 / 16 (each step depends on the
+# whole previous alpha row, so there is nothing to pipeline and the
+# unrolled body just bloats).  The actual win was hoisting the per-step
+# emission gather out of the loop: 18.8 → 2.5 ms fwd+bwd.
+ALPHA_SCAN_UNROLL = 1
 
 
 def _extended_targets(targets: jnp.ndarray, blank: int) -> jnp.ndarray:

@@ -27,10 +27,11 @@ import jax.numpy as jnp
 from jax import lax
 
 
-# lax.scan unroll factor: the cell body is a handful of tiny GEMMs, so the
-# per-iteration loop overhead dominates on TPU; unrolling lets XLA pipeline
-# several timesteps per loop trip.  8 measured best among {1, 4, 8, 16} at
-# the FORCE head shapes (benchmarks/head_profile.py).
+# lax.scan unroll factor for the LSTM cell.  Measured flat within tunnel
+# noise at the FORCE head shapes (benchmarks/head_profile.py sweep:
+# fwd+bwd 2.94 / 2.87 / 2.96 / 2.58 ms at unroll 1 / 4 / 8 / 16) — the
+# recurrence serializes on the carry, so unrolling mostly saves loop
+# bookkeeping; 8 kept as a mild compile-size/throughput balance.
 SCAN_UNROLL = 8
 
 

@@ -41,7 +41,17 @@ def main():
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--frames", type=int, default=256)
     p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--unroll", type=int, default=0,
+                   help="override SCAN_UNROLL/ALPHA_SCAN_UNROLL (0 = ship)")
     args = p.parse_args()
+
+    if args.unroll:
+        import aptai_tpu.ops.lstm as _lstm
+        import aptai_tpu.ops.ctc as _ctc
+
+        _lstm.SCAN_UNROLL = args.unroll
+        _ctc.ALPHA_SCAN_UNROLL = args.unroll
+        print(f"unroll override: {args.unroll}")
 
     from aptai_tpu.utils.jax_setup import enable_compilation_cache
 

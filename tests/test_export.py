@@ -1,0 +1,89 @@
+"""AOT serving bundles (infer/export.py): a predictor forward frozen to
+disk (StableHLO + weights + metadata) must reload WITHOUT the model object
+and reproduce the live predictor's outputs."""
+
+import numpy as np
+import jax
+import pytest
+
+from aptai_tpu.infer import (APTAIPredictor, load_serving_bundle,
+                             save_serving_bundle)
+from aptai_tpu.models import APTAI, tiny_config
+
+
+@pytest.fixture(scope="module")
+def aptai_model():
+    import jax.numpy as jnp
+
+    cfg = tiny_config()
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(rng.standard_normal((1, 3200)).astype(np.float32))
+    lens = jnp.asarray(np.array([3200], np.int32))
+    model = APTAI(cfg, num_phonemes=11)
+    variables = model.init(jax.random.PRNGKey(0), audio, lens,
+                           method="predict")
+    return model, variables["params"]
+
+
+def test_bundle_round_trip_matches_live_predictor(aptai_model, tmp_path,
+                                                  rng):
+    model, params = aptai_model
+    fields = ("tvs_pred", "phn_fc_pred")
+    bundle_dir = save_serving_bundle(
+        tmp_path / "bundle", model, params,
+        batch=2, seconds=0.5, fields=fields, platforms=("cpu",))
+    assert (bundle_dir / "forward.stablehlo").exists()
+    assert (bundle_dir / "params.npz").exists()
+
+    bundle = load_serving_bundle(bundle_dir)
+    # 3 wavs with batch=2 exercises the chunking path
+    wavs = [rng.standard_normal(3200 + 800 * i).astype(np.float32) * 0.1
+            for i in range(3)]
+    got = bundle.predict_batch(wavs)
+    assert set(got) == set(fields) | {"frame_lengths"}
+    assert all(v.shape[0] == 3 for v in got.values())
+
+    # live predictor reference on the raw wavs: both paths mask by the
+    # true length, and valid-frame outputs are pad-width invariant
+    live = APTAIPredictor(model, params)
+    for i, w in enumerate(wavs):
+        ref = live.predict_batch([w], fields=fields)
+        n = int(got["frame_lengths"][i])
+        assert n == int(ref["frame_lengths"][0])
+        np.testing.assert_allclose(
+            np.asarray(got["tvs_pred"])[i, :n],
+            np.asarray(ref["tvs_pred"])[0, :n], rtol=1e-4, atol=1e-5)
+        np.testing.assert_array_equal(
+            np.asarray(got["phn_fc_pred"])[i, :n],
+            np.asarray(ref["phn_fc_pred"])[0, :n])
+
+
+def test_bundle_rejects_overlong_input(aptai_model, tmp_path, rng):
+    model, params = aptai_model
+    bundle = load_serving_bundle(save_serving_bundle(
+        tmp_path / "b2", model, params, batch=1, seconds=0.25,
+        platforms=("cpu",)))
+    with pytest.raises(ValueError, match="re-export"):
+        bundle.predict_batch([rng.standard_normal(16000).astype(np.float32)])
+
+
+def test_bundle_int16_transfer(aptai_model, tmp_path, rng):
+    model, params = aptai_model
+    pcm = rng.integers(-2000, 2000, size=4000).astype(np.int16)
+    wav = pcm.astype(np.float32) / 32768.0
+    f32 = load_serving_bundle(save_serving_bundle(
+        tmp_path / "f32", model, params, batch=1, seconds=0.5,
+        platforms=("cpu",))).predict_batch([wav])
+    i16 = load_serving_bundle(save_serving_bundle(
+        tmp_path / "i16", model, params, batch=1, seconds=0.5,
+        transfer_dtype="int16", platforms=("cpu",))).predict_batch([wav])
+    for k in f32:
+        np.testing.assert_array_equal(f32[k], i16[k], err_msg=k)
+
+
+def test_bundle_unknown_field_raises(aptai_model, tmp_path):
+    model, params = aptai_model
+    with pytest.raises(ValueError, match="unknown output field"):
+        save_serving_bundle(tmp_path / "bad", model, params, batch=1,
+                            seconds=0.25, fields=("nope",),
+                            platforms=("cpu",))
