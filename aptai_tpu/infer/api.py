@@ -109,6 +109,17 @@ def _sharded_call(mesh, fn, params, *args):
         return fn(params, *args)
 
 
+def check_fields(requested, available, owner: str) -> None:
+    """Raise at the call site when ``fields=`` names outputs the forward
+    does not produce (shared by the live predictors and the AOT export)."""
+    unknown = set(requested) - set(available)
+    if unknown:
+        raise ValueError(
+            f"unknown output field(s) {sorted(unknown)}; "
+            f"{owner} produces {sorted(available)}"
+        )
+
+
 def _decode_with_times(log_probs: np.ndarray):
     nat = beam_search_native(log_probs)
     if nat is not None:
@@ -137,7 +148,8 @@ class APTAIPredictor:
         self._fwd_for = _selective_jit(model, "predict")
 
     def predict_batch(self, wavs: Sequence[np.ndarray],
-                      fields: Optional[Sequence[str]] = None) -> Dict:
+                      fields: Optional[Sequence[str]] = None,
+                      real_rows: Optional[int] = None) -> Dict:
         """Batched forward; every returned array has leading dim
         ``len(wavs)`` (the device-side batch bucketing pad rows are sliced
         off before returning).  ``fields`` (e.g. ``("tvs_pred",
@@ -145,7 +157,12 @@ class APTAIPredictor:
         XLA dead-code-eliminates unserved heads (e.g. the (B, T, V)
         softmax when only TVs are served) and — on the axon tunnel, where
         every fetched byte rides a ~30 ms-RTT link — the per-request
-        marshaling shrinks to what the caller actually consumes."""
+        marshaling shrinks to what the caller actually consumes.
+        ``real_rows`` (the MicroBatcher protocol): the first N wavs are
+        real, the rest serving-shape padding — accepted on every predictor
+        so batchers can pass it uniformly; here pad rows only cost device
+        FLOPs (one static shape), so it is ignored."""
+        del real_rows
         fwd = self._fwd_for(fields)
         audio, lengths = _prepare(wavs, self.transfer_dtype)
         out = _sharded_call(self.mesh, fwd, self.params, audio, lengths)
@@ -188,13 +205,7 @@ def _selective_jit(model, method: str):
                 out = model.apply({"params": p}, *args, method=method)
                 if key is None:
                     return out
-                unknown = set(key) - set(out)
-                if unknown:
-                    raise ValueError(
-                        f"unknown output field(s) {sorted(unknown)}; "
-                        f"{type(model).__name__}.{method} produces "
-                        f"{sorted(out)}"
-                    )
+                check_fields(key, out, f"{type(model).__name__}.{method}")
                 keep = set(key) | {"frame_lengths"}
                 return {k: v for k, v in out.items() if k in keep}
 
@@ -274,12 +285,18 @@ class ForceAPTAIPredictor:
                 jnp.asarray(seqs), jnp.asarray(lens), jnp.asarray(trunc))
 
     def predict_batch(self, wavs: Sequence[np.ndarray],
-                      fields: Optional[Sequence[str]] = None) -> Dict:
+                      fields: Optional[Sequence[str]] = None,
+                      real_rows: Optional[int] = None) -> Dict:
         """Batched forward; leading dim of every output is ``len(wavs)``
-        (bucketing pad rows sliced off device-side)."""
+        (bucketing pad rows sliced off device-side).  ``real_rows`` (the
+        MicroBatcher protocol): only the first N wavs are real — the split
+        beam_host path then host-decodes ONLY those, so serving-shape
+        padding (``pad_to_max``) does not multiply the serial host beam
+        search."""
         audio, lengths = _prepare(wavs, self.transfer_dtype)
         if self._split_beam:
-            enc = self._encode_and_decode(audio, lengths, n=len(wavs))
+            n = len(wavs) if real_rows is None else min(real_rows, len(wavs))
+            enc = self._encode_and_decode(audio, lengths, n=n)
             out = _sharded_call(self.mesh, self._head_for(fields),
                                 self.params, *enc)
         else:
@@ -334,9 +351,13 @@ class W2V2PRPredictor:
         self._encode_for = _selective_jit(model, "encode")
 
     def encode_batch(self, wavs: Sequence[np.ndarray],
-                     fields: Optional[Sequence[str]] = None) -> Dict:
+                     fields: Optional[Sequence[str]] = None,
+                     real_rows: Optional[int] = None) -> Dict:
         """Batched encode; leading dim of every output is ``len(wavs)``
-        (bucketing pad rows sliced off device-side)."""
+        (bucketing pad rows sliced off device-side).  ``real_rows``:
+        accepted for the MicroBatcher protocol; no host-side per-row work
+        here, so it is ignored."""
+        del real_rows
         audio, lengths = _prepare(wavs, self.transfer_dtype)
         out = _sharded_call(self.mesh, self._encode_for(fields),
                             self.params, audio, lengths)

@@ -37,26 +37,17 @@ _PARAMS = "params.npz"
 _META = "meta.json"
 
 
-def _flatten(tree, prefix="") -> Dict[str, np.ndarray]:
-    out = {}
-    for k, v in tree.items():
-        key = f"{prefix}/{k}" if prefix else str(k)
-        if isinstance(v, dict):
-            out.update(_flatten(v, key))
-        else:
-            out[key] = np.asarray(v)
-    return out
+def _flatten(tree) -> Dict[str, np.ndarray]:
+    from flax import traverse_util
+
+    return {k: np.asarray(v)
+            for k, v in traverse_util.flatten_dict(tree, sep="/").items()}
 
 
 def _unflatten(flat: Dict[str, np.ndarray]):
-    tree: Dict = {}
-    for key, v in flat.items():
-        parts = key.split("/")
-        node = tree
-        for p in parts[:-1]:
-            node = node.setdefault(p, {})
-        node[parts[-1]] = v
-    return tree
+    from flax import traverse_util
+
+    return traverse_util.unflatten_dict(dict(flat), sep="/")
 
 
 def save_serving_bundle(
@@ -83,7 +74,17 @@ def save_serving_bundle(
     import jax.numpy as jnp
     from jax import export as jexport
 
-    from aptai_tpu.infer.api import dequantize_i16
+    from aptai_tpu.infer.api import check_fields, dequantize_i16
+
+    if getattr(model, "decode_method", "greedy") == "beam_host":
+        # the in-jit host-callback beam search cannot serialize (and would
+        # be deadlock-prone on a serving host anyway) — same refusal as
+        # StreamingPredictor
+        raise ValueError(
+            "cannot export a decode_method='beam_host' model: its forward "
+            "embeds a host-callback beam search; export a "
+            "decode_method='greedy' model (the TPU-native default)"
+        )
 
     samples = int(seconds * SAMPLE_RATE)
 
@@ -92,12 +93,7 @@ def save_serving_bundle(
             audio = dequantize_i16(audio)
         out = model.apply({"params": p}, audio, lengths, method=method)
         if fields is not None:
-            unknown = set(fields) - set(out)
-            if unknown:
-                raise ValueError(
-                    f"unknown output field(s) {sorted(unknown)}; "
-                    f"{type(model).__name__}.{method} produces {sorted(out)}"
-                )
+            check_fields(fields, out, f"{type(model).__name__}.{method}")
             keep = set(fields) | {"frame_lengths"}
             out = {k: v for k, v in out.items() if k in keep}
         return out
@@ -151,6 +147,8 @@ class ServingBundle:
 
         batch = int(self.meta["batch"])
         samples = int(self.meta["samples"])
+        if not wavs:
+            raise ValueError("predict_batch needs at least one waveform")
         too_long = [i for i, w in enumerate(wavs) if len(w) > samples]
         if too_long:
             raise ValueError(

@@ -61,6 +61,17 @@ class MicroBatcher:
         self.max_wait_ms = max_wait_ms
         self.pad_to_max = pad_to_max
         self.fields = tuple(fields) if fields is not None else None
+        # predictors accepting real_rows= skip host-side work on the
+        # pad_to_max silence rows (the split beam_host decode is serial on
+        # the host — infer/api.py); probed once so arbitrary callables
+        # without the kwarg still work
+        import inspect
+
+        try:
+            self._pass_real_rows = "real_rows" in inspect.signature(
+                predict_batch).parameters
+        except (TypeError, ValueError):  # builtins / C callables
+            self._pass_real_rows = False
         self.fetch_workers = max(int(fetch_workers), 1)
         self._queue: "queue.Queue" = queue.Queue()
         self._thread = None
@@ -89,10 +100,12 @@ class MicroBatcher:
         if self.pad_to_max and len(fill) < self.max_batch_size:
             pad = np.zeros_like(np.asarray(fill[0]))
             fill.extend([pad] * (self.max_batch_size - len(fill)))
+        kw = {}
         if self.fields is not None:
-            out = self.predict_batch(fill, fields=self.fields)
-        else:
-            out = self.predict_batch(fill)
+            kw["fields"] = self.fields
+        if self._pass_real_rows:
+            kw["real_rows"] = len(wavs)
+        out = self.predict_batch(fill, **kw)
         return len(wavs), out
 
     @staticmethod

@@ -160,7 +160,7 @@ class ForceAPTAIConfig(TrainConfig):
     # the head from cached encodings (train/frozen_cache.py): the tower is
     # frozen and deterministic, so recomputing it every epoch — as the
     # reference does, train_force_aptai.py:403-429 — is pure waste
-    # (~99.8% of step FLOPs).  --no_cache_frozen_encodings restores the
+    # (~99.8% of step FLOPs).  --no-cache_frozen_encodings restores the
     # per-step tower forward (e.g. host-memory-constrained corpora).
     cache_frozen_encodings: bool = True
 

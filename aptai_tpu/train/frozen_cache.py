@@ -69,8 +69,12 @@ def _cache_encode_fn(model):
     return jax.jit(fn)
 
 
-def _place(model, params, mesh):
-    """(params placed on device(s), effective mesh or None)."""
+def place_params(params, mesh):
+    """Place a frozen param tree for the encode pass: sharded by the
+    tensor-parallel path rules on a real (>1 device) mesh — the tower
+    encode must run sharded like the step itself, not on device 0 — plain
+    placement otherwise.  Always FRESH buffers, never aliased with a
+    donated train state.  Returns ``(placed params, effective mesh)``."""
     mesh = mesh if mesh is not None and mesh.devices.size > 1 else None
     if mesh is not None:
         from aptai_tpu.parallel import shard_tree
@@ -79,26 +83,30 @@ def _place(model, params, mesh):
     return jax.device_put(params), None
 
 
+def sharded_encode(enc_fn, params, mesh, audio, audio_lengths):
+    """Run a jitted encode, batch sharded over the data axis when a mesh
+    is in effect (shared by the cache pass and BeamDecodedBatches)."""
+    if mesh is not None:
+        from aptai_tpu.parallel import shard_batch
+
+        with mesh:
+            sb = shard_batch(mesh, {"audio": audio,
+                                    "audio_lengths": audio_lengths})
+            return enc_fn(params, sb["audio"], sb["audio_lengths"])
+    return enc_fn(params, audio, audio_lengths)
+
+
 def _encode_items(loader, model, params, mesh) -> List[Dict]:
     """The one-time cache pass: consume ``loader`` (``collate_tv`` batches),
     run the tower (sharded over ``mesh`` when given) + the in-step decode,
     and return trimmed per-utterance cache items in emission order."""
-    params, mesh = _place(model, params, mesh)
+    params, mesh = place_params(params, mesh)
     enc_fn = _cache_encode_fn(model)
     beam = model.decode_method == "beam_host"
     items: List[Dict] = []
     for batch in loader:
-        if mesh is not None:
-            from aptai_tpu.parallel import shard_batch
-
-            with mesh:
-                sb = shard_batch(mesh, {
-                    "audio": batch["audio"],
-                    "audio_lengths": batch["audio_lengths"],
-                })
-                enc = enc_fn(params, sb["audio"], sb["audio_lengths"])
-        else:
-            enc = enc_fn(params, batch["audio"], batch["audio_lengths"])
+        enc = sharded_encode(enc_fn, params, mesh, batch["audio"],
+                             batch["audio_lengths"])
         mask = np.asarray(batch.get(
             "batch_pad_mask", np.ones(len(batch["audio"]), bool)))
         fl = np.asarray(enc["frame_lengths"])

@@ -104,47 +104,25 @@ class BeamDecodedBatches:
 
     def __init__(self, loader, model, params, mesh=None):
         from aptai_tpu.decode.beam import beam_decode_padded
+        from aptai_tpu.train.frozen_cache import place_params
 
         self.loader = loader
         self.model = model
-        # multi-chip: the frozen-tower encode is the step's dominant
-        # compute, so it must run sharded like the step itself — params by
-        # the tensor-parallel path rules (replicated when model=1, i.e. no
-        # second full copy beyond DP replication), batches over the data
-        # axis.  Single chip: plain placement.
-        self.mesh = mesh if mesh is not None and mesh.devices.size > 1 \
-            else None
-        if self.mesh is not None:
-            from aptai_tpu.parallel import shard_tree
-
-            # frozen tower ⇒ any epoch's params work; place once (fresh
-            # buffers — never aliased with the donated train state)
-            self.params = shard_tree(self.mesh, params)
-        else:
-            self.params = jax.device_put(params)
+        # frozen tower ⇒ any epoch's params work; placement + sharded
+        # encode are shared with the cache pass (train/frozen_cache.py)
+        self.params, self.mesh = place_params(params, mesh)
         self._decode = beam_decode_padded
         self._enc_j, _ = _split_beam_fns(model)
 
     def __len__(self):
         return len(self.loader)
 
-    def _encode(self, batch):
-        if self.mesh is not None:
-            from aptai_tpu.parallel import shard_batch
-
-            with self.mesh:
-                sb = shard_batch(self.mesh, {
-                    "audio": batch["audio"],
-                    "audio_lengths": batch["audio_lengths"],
-                })
-                return self._enc_j(self.params, sb["audio"],
-                                   sb["audio_lengths"])
-        return self._enc_j(self.params, batch["audio"],
-                           batch["audio_lengths"])
-
     def __iter__(self):
+        from aptai_tpu.train.frozen_cache import sharded_encode
+
         for batch in self.loader:
-            enc = self._encode(batch)
+            enc = sharded_encode(self._enc_j, self.params, self.mesh,
+                                 batch["audio"], batch["audio_lengths"])
             seqs, lens, trunc = self._decode(
                 enc["ctc_log_probs"], enc["frame_lengths"],
                 self.model.max_phn_seq_len,

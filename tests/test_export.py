@@ -87,3 +87,24 @@ def test_bundle_unknown_field_raises(aptai_model, tmp_path):
         save_serving_bundle(tmp_path / "bad", model, params, batch=1,
                             seconds=0.25, fields=("nope",),
                             platforms=("cpu",))
+
+
+def test_export_rejects_beam_host_model(aptai_model, tmp_path):
+    from aptai_tpu.models import ForceAPTAI, tiny_config
+
+    _, params = aptai_model
+    cfg = tiny_config()
+    beam_model = ForceAPTAI(cfg, vocab_size=cfg.vocab_size,
+                            decode_method="beam_host")
+    with pytest.raises(ValueError, match="beam"):
+        save_serving_bundle(tmp_path / "beam", beam_model, params,
+                            batch=1, seconds=0.25, platforms=("cpu",))
+
+
+def test_bundle_rejects_empty_request(aptai_model, tmp_path):
+    model, params = aptai_model
+    bundle = load_serving_bundle(save_serving_bundle(
+        tmp_path / "b3", model, params, batch=1, seconds=0.25,
+        platforms=("cpu",)))
+    with pytest.raises(ValueError, match="at least one"):
+        bundle.predict_batch([])

@@ -281,3 +281,41 @@ def test_beam_decoded_batches_on_mesh(beam_setup):
     np.testing.assert_allclose(np.asarray(single["frame_embs"]),
                                np.asarray(sharded["frame_embs"]),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_micro_batcher_skips_pad_row_decode(beam_setup, monkeypatch):
+    """MicroBatcher(pad_to_max=True) extends the request list with
+    serving-shape silence rows; the split beam_host predictor must
+    host-decode only the REAL rows (the real_rows protocol)."""
+    import aptai_tpu.decode.beam as beam_mod
+    from aptai_tpu.infer import MicroBatcher
+    from aptai_tpu.infer.api import ForceAPTAIPredictor
+
+    model, params, audio, lengths, tvs = beam_setup
+    seen_rows = []
+    orig = beam_mod.beam_decode_padded
+
+    def spy(log_probs, frame_lengths, max_len, out_rows=None):
+        seen_rows.append(np.asarray(log_probs).shape[0])
+        return orig(log_probs, frame_lengths, max_len, out_rows=out_rows)
+
+    monkeypatch.setattr(beam_mod, "beam_decode_padded", spy)
+    pred = ForceAPTAIPredictor(model, params)
+    mb = MicroBatcher(pred.predict_batch, max_batch_size=4, pad_to_max=True)
+    results = mb.run_batch([np.asarray(audio[0])])
+    assert len(results) == 1
+    assert seen_rows == [1]  # not 4: pad_to_max silence rows never decoded
+    assert np.isfinite(np.asarray(results[0]["tvs_pred"],
+                                  np.float32)).all()
+
+
+def test_cache_flag_spelling_parses():
+    """The documented opt-out is --no-cache_frozen_encodings
+    (argparse.BooleanOptionalAction's spelling)."""
+    from aptai_tpu.train.config import ForceAPTAIConfig, parse_config
+
+    cfg = parse_config(ForceAPTAIConfig, "FORCE_APTAI",
+                       ["--no-cache_frozen_encodings"])
+    assert cfg.cache_frozen_encodings is False
+    cfg = parse_config(ForceAPTAIConfig, "FORCE_APTAI", [])
+    assert cfg.cache_frozen_encodings is True
