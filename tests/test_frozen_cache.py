@@ -132,6 +132,18 @@ def test_cached_trainer_end_to_end(tmp_path_factory):
                                        speakers=["M01"])
     assert np.isfinite(mean["test_N_mean_rmse"])
 
+    # per-epoch saves are head-only (the ~tower-sized write would dominate
+    # the cached epoch), but the PUBLIC best checkpoint must finalize to a
+    # standard full-model artifact containing the tower
+    from pathlib import Path
+
+    from flax import serialization
+
+    best = (Path(cfg.exp_dir) / "best-model-ckpt-M01" / "best-model-ckpt"
+            / "params.msgpack")
+    tree = serialization.msgpack_restore(best.read_bytes())
+    assert "w2v2_pr" in tree and "rnn" in tree and "xatt" in tree
+
 
 def test_corpus_cache_shared_across_folds(tmp_path_factory):
     """FrozenEncodedCorpus encodes the manifest once; fold loaders drawn
