@@ -35,6 +35,10 @@ def main():
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--epochs", type=int, default=60,
                    help="blessed FORCE epoch count for the amortized ratio")
+    p.add_argument("--only_head", action="store_true",
+                   help="measure just the head-only-state step (batch "
+                        "scaling probe: the scans' sequential latency is "
+                        "batch-invariant)")
     args = p.parse_args()
 
     from aptai_tpu.utils.jax_setup import enable_compilation_cache
@@ -95,6 +99,32 @@ def main():
 
     # --- encode (cache build) cost: tower forward alone, chained ---
     enc_fn = _cache_encode_fn(model)
+
+    if args.only_head:
+        enc = enc_fn(params, audio, lengths)
+        enc_batch = {
+            "frame_embs": enc["frame_embs"],
+            "enc_frame_lengths": enc["frame_lengths"],
+            "phn_pred_seq": enc["phn_pred_seq"],
+            "phn_seq_lengths": enc["phn_seq_lengths"],
+            "phn_seq_truncated": enc["phn_seq_truncated"],
+            "tv_targets": tvs,
+        }
+
+        def head_only_params():
+            return jax.device_put(
+                {k: v for k, v in variables["params"].items()
+                 if k != "w2v2_pr"}, jax.devices()[0])
+
+        slim_opt = torch_adam()
+        slim_step = make_train_step(
+            force_loss_fn(model, from_encoded=True), slim_opt)
+        ms = timed_steps(
+            slim_step, create_train_state(head_only_params(), slim_opt),
+            enc_batch, f"head step (head-only state, batch {b})")
+        print(f"throughput: {b * args.seconds / (ms / 1e3):.1f} "
+              "audio-s/s/chip")
+        return
 
     def enc_chain(p, a, l, c):
         out = enc_fn(p, a + 0.0 * c, l)
