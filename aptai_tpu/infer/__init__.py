@@ -11,8 +11,11 @@ from aptai_tpu.infer.streaming import (StreamingAPTAI, StreamingForceAPTAI,
 from aptai_tpu.infer.server import MicroBatcher
 from aptai_tpu.infer.export import (ServingBundle, load_serving_bundle,
                                     save_serving_bundle)
+from aptai_tpu.infer.loader import load_model, load_predictor
 
 __all__ = [
+    "load_model",
+    "load_predictor",
     "APTAIPredictor",
     "ForceAPTAIPredictor",
     "W2V2PRPredictor",

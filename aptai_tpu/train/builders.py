@@ -157,5 +157,9 @@ def build_force_model(cfg_train, vocab: Dict[str, int],
     # precondition for sharing one frozen-encoding cache across folds
     model_cfg = {"backbone": dataclasses.asdict(backbone), "vocab": vocab,
                  "kind": "force_aptai", "pr_model_path": str(pr_model_path),
-                 "pr_spliced": spliced}
+                 "pr_spliced": spliced,
+                 # recorded so infer.load_predictor rebuilds the exact
+                 # forward (greedy vs split beam_host) from the checkpoint
+                 "decode_method": getattr(cfg_train, "decode_method",
+                                          "greedy")}
     return model, params, model_cfg
