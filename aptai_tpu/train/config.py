@@ -67,6 +67,13 @@ class TrainConfig:
     # "cpu" forces host execution — the analog of the reference's
     # cuda-else-cpu fallback (reference train_phoneme_recognizer.py:177)
     platform: str = "auto"
+    # PRNG implementation for dropout/SpecAugment mask generation.
+    # "rbg" drives XLA's RngBitGenerator (hardware-accelerated on TPU);
+    # threefry mask bits cost 9.6 ms of VPU time per blessed-shape APTAI
+    # step — ~14% of the step (benchmarks/train_profile.py, PERF.md
+    # round 3).  "threefry" restores jax's default: bit-exact mask
+    # reproducibility across topologies/backends at that cost.
+    rng_impl: str = "rbg"
 
     # derived
     date_time: str = ""
@@ -78,6 +85,10 @@ class TrainConfig:
             import jax
 
             jax.config.update("jax_platforms", self.platform)
+        if self.rng_impl and self.rng_impl != "threefry":
+            import jax
+
+            jax.config.update("jax_default_prng_impl", self.rng_impl)
         if self.debug_nans:
             # the deeper analog of the reference's always-on
             # torch.autograd.set_detect_anomaly (train_aptai.py:405):

@@ -96,6 +96,11 @@ def _training_rtf(model, cfg, backend) -> float:
 
     from aptai_tpu.train import create_train_state, make_train_step, torch_adam
 
+    # the trainers' default PRNG (train/config.py::rng_impl): XLA's
+    # RngBitGenerator for dropout/SpecAugment masks — threefry mask bits
+    # cost 9.6 ms of the 66.6 ms blessed-shape step (train_profile.py)
+    jax.config.update("jax_default_prng_impl", "rbg")
+
     batch, seconds, iters = (8, 5, 5) if backend == "tpu" else (1, 1, 1)
     samples = 16_000 * seconds
     t = int(cfg.feat_extract_output_lengths(np.asarray(samples)))

@@ -174,9 +174,11 @@ def main():
         jax.block_until_ready(grads)
 
         @jax.jit
-        def adam_step(state, i):
+        def adam_step_g(state, g, i):
+            # grads passed as an argument: closing over the 1.26 GB tree
+            # would embed it as jaxpr constants (compile-time blowup)
             updates, opt_state = optimizer.update(
-                grads, state.opt_state, state.params)
+                g, state.opt_state, state.params)
             lr = 1e-6 * (1.0 + 0.0 * i)
             updates = jax.tree.map(lambda u: -lr * u, updates)
             new_params = optax.apply_updates(state.params, updates)
@@ -187,7 +189,8 @@ def main():
             return jnp.sum(jax.tree_util.tree_leaves(s.params)[0]).astype(
                 jnp.float32)
 
-        chain_time(adam_step, create_train_state(params, optimizer),
+        chain_time(lambda s, i: adam_step_g(s, grads, i),
+                   create_train_state(params, optimizer),
                    fetch_state, "adam_only_ms")
 
         # --- the shipped full step ---------------------------------------

@@ -326,6 +326,52 @@ def test_specaugment_mask_statistics_match_hf():
                                                           hf_spans)
 
 
+def test_rbg_prng_masks_keep_the_stochastic_contract():
+    """The trainers default to the ``rbg`` PRNG (train/config.py::rng_impl —
+    XLA RngBitGenerator; threefry mask bits cost 9.6 ms of the 66.6 ms
+    blessed-shape train step, benchmarks/train_profile.py).  Quality
+    contract: rbg-keyed SpecAugment masks keep the same masking rate and
+    valid-region confinement as threefry-keyed ones, and rbg-keyed dropout
+    keeps its rate — the RNG swap changes *which* bits, never the
+    distribution."""
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    from aptai_tpu.models.wav2vec2 import _compute_time_mask
+
+    b, t = 8, 200
+    lengths = np.asarray([200, 200, 160, 160, 120, 120, 80, 80], np.int32)
+    prob, span, min_masks = 0.3, 10, 2
+    rates = {}
+    for impl in ("threefry2x32", "rbg"):
+        rate = 0.0
+        for r in range(30):
+            # typed keys carry the impl (legacy PRNGKey arrays get
+            # re-wrapped with the *default* impl downstream — which is how
+            # the trainers switch impl globally via jax_default_prng_impl)
+            key = jax.random.key(r, impl=impl)
+            # split/fold_in must work on this key type (the harness derives
+            # per-step rngs that way — train/harness.py::step_fn)
+            key = jax.random.fold_in(jax.random.split(key)[0], r)
+            m = np.asarray(_compute_time_mask(
+                key, b, t, jnp.asarray(lengths), prob, span, min_masks))
+            for i in range(b):
+                assert not m[i, lengths[i]:].any(), impl
+            rate += m[np.arange(t)[None, :] < lengths[:, None]].mean()
+        rates[impl] = rate / 30
+    assert abs(rates["rbg"] - rates["threefry2x32"]) / rates[
+        "threefry2x32"] < 0.10, rates
+
+    drop = nn.Dropout(0.1, deterministic=False)
+    x = jnp.ones((64, 1024))
+    kept = []
+    for impl in ("threefry2x32", "rbg"):
+        y = drop.apply({}, x, rngs={"dropout": jax.random.key(0, impl=impl)})
+        kept.append(float((np.asarray(y) != 0).mean()))
+    assert abs(kept[0] - 0.9) < 0.01 and abs(kept[1] - 0.9) < 0.01, kept
+
+
 def test_gelu_auto_mode_error_within_bf16_noise(rng):
     """gelu="auto" uses the hardware-tanh approximation on the bf16 path.
     Quality contract: a bf16 forward with tanh GELU is no farther from the
