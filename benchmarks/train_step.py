@@ -22,6 +22,10 @@ def main():
     ap.add_argument("--configs", default=None,
                     help="comma list of BxS (batch x seconds), e.g. "
                          "'8x5,32x5'; default: blessed shape only")
+    ap.add_argument("--rng_impl", default="rbg",
+                    help="PRNG for dropout/SpecAugment masks; 'rbg' is the "
+                         "trainer default (train/config.py), 'threefry' "
+                         "restores jax's default")
     args = ap.parse_args()
 
     sys.path.insert(0, ".")
@@ -30,6 +34,9 @@ def main():
     enable_compilation_cache()
 
     import jax
+
+    if args.rng_impl != "threefry":
+        jax.config.update("jax_default_prng_impl", args.rng_impl)
     import jax.numpy as jnp
 
     from aptai_tpu.models import APTAI, Wav2Vec2Config
