@@ -35,6 +35,9 @@ def main():
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--epochs", type=int, default=60,
                    help="blessed FORCE epoch count for the amortized ratio")
+    p.add_argument("--rng_impl", default="rbg",
+                   help="PRNG for dropout masks; 'rbg' is the trainer "
+                        "default (train/config.py)")
     p.add_argument("--only_head", action="store_true",
                    help="measure just the head-only-state step (batch "
                         "scaling probe: the scans' sequential latency is "
@@ -46,6 +49,10 @@ def main():
     enable_compilation_cache()
 
     import jax
+
+    if args.rng_impl != "threefry":
+        jax.config.update("jax_default_prng_impl", args.rng_impl)
+
     import jax.numpy as jnp
 
     from aptai_tpu.models import ForceAPTAI, Wav2Vec2Config

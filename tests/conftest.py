@@ -39,3 +39,16 @@ def pytest_configure(config):
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True)
+def _isolate_default_prng_impl():
+    """Trainer mains set jax_default_prng_impl='rbg' (train/config.py::
+    rng_impl — the shipped TPU default); restore jax's default afterwards so
+    trainer-invoking tests don't leak the impl into bit-exactness tests
+    (e.g. test_parallel's DP-vs-single equality, whose per-element threefry
+    bits are topology-invariant while rbg bits under SPMD are not)."""
+    before = jax.config.jax_default_prng_impl
+    yield
+    if jax.config.jax_default_prng_impl != before:
+        jax.config.update("jax_default_prng_impl", before)
