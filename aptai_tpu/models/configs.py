@@ -14,7 +14,7 @@ train_phoneme_recognizer.py:166): 24 pre-norm transformer layers, hidden
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 
 @dataclasses.dataclass(frozen=True)
@@ -100,6 +100,20 @@ class Wav2Vec2Config:
     # in tests/test_quant.py.  jnp.round has zero gradient: do not train
     # with this on (trainers keep "none").
     quant: str = "none"  # "none" | "w8a8_ffn" | "w8a8"
+    # Megatron-style SEQUENCE PARALLELISM (new multi-chip scope, composing
+    # with the tensor-parallel parameter rules in parallel/mesh.py): mesh
+    # axis names constraining the (B, T, C) residual stream at the sublayer
+    # boundaries, e.g. ("data", "model", None) shards the time axis over
+    # the tensor-parallel axis so the LayerNorm/dropout/residual work — and
+    # the replicated activation memory — split model-parallel-ways, and
+    # XLA's SPMD partitioner realizes each sublayer's all-reduce as
+    # reduce-scatter + all-gather.  Requires tracing under the target Mesh
+    # context (`with mesh:`); the default None leaves activation placement
+    # to the partitioner.  Ignored by the shard_map pipeline executor
+    # (parallel/pipeline.py runs in manual-mesh mode where automatic
+    # sharding constraints do not apply).
+    activation_partition: Optional[Tuple[Optional[str], Optional[str],
+                                         Optional[str]]] = None
     fused_feature_extractor: bool = False  # Pallas conv+LN+GELU kernel
     #   (ops/fused_conv.py): correct on TPU, double-buffered (two static
     #   scratch slots), but still measures ~8% slower end-to-end than XLA's

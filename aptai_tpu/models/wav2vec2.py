@@ -58,6 +58,19 @@ def _compute_dtype(cfg: Wav2Vec2Config):
     return jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
 
 
+def _constrain_seq(x, cfg: Wav2Vec2Config):
+    """Sequence-parallel activation sharding (``cfg.activation_partition``):
+    constrain the (B, T, C) residual stream at the sublayer boundaries so
+    the elementwise/LN work between the Megatron-sharded matmuls — and the
+    activations themselves — shard over the named axes (see configs.py)."""
+    if cfg.activation_partition is None:
+        return x
+    from jax.sharding import PartitionSpec
+
+    return jax.lax.with_sharding_constraint(
+        x, PartitionSpec(*cfg.activation_partition))
+
+
 class Conv1dGEMM(nn.Module):
     """Valid-padding strided Conv1d expressed as patches + one GEMM.
 
@@ -432,11 +445,13 @@ class EncoderLayer(nn.Module):
     def __call__(self, x, lengths, deterministic: bool):
         cfg = self.cfg
         dtype = _compute_dtype(cfg)
+        x = _constrain_seq(x, cfg)
         attn_in = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=dtype,
                                name="layer_norm")(x)
         x = x + SelfAttention(cfg, name="attention")(
             attn_in, lengths, deterministic
         )
+        x = _constrain_seq(x, cfg)
         ff_in = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=dtype,
                              name="final_layer_norm")(x)
         x = x + FeedForward(cfg, name="feed_forward")(ff_in, deterministic)
@@ -483,7 +498,17 @@ class Wav2Vec2Encoder(nn.Module):
         input_lengths: Optional[jnp.ndarray] = None,  # (B,)
         deterministic: bool = True,
         output_hidden_states: bool = False,
+        layer_stack_fn=None,
     ):
+        """``layer_stack_fn`` (optional): a callable ``(h, frame_lengths) ->
+        h`` that REPLACES the built-in transformer-layer loop — the hook the
+        pipeline-parallel executor uses (parallel/pipeline.py) to run the
+        24-layer stack as a GPipe schedule over a ``pipe`` mesh axis while
+        the prologue (feature extractor → projection → pos-conv) and
+        epilogue (final LayerNorm) stay ordinary SPMD ops.  The caller owns
+        the layer parameters (stacked from this module's own tree); apply
+        with the full parameter tree — unused ``layers_*`` subtrees are
+        fine — but note ``init`` through this path would not create them."""
         cfg = self.cfg
         b, l = input_values.shape
         if input_lengths is None:
@@ -544,6 +569,8 @@ class Wav2Vec2Encoder(nn.Module):
         if not cfg.do_stable_layer_norm:
             h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="layer_norm")(h)
         h = nn.Dropout(cfg.hidden_dropout)(h, deterministic=deterministic)
+        if layer_stack_fn is None:
+            h = _constrain_seq(h, cfg)
 
         # gradient checkpointing over each layer in training, like the
         # reference's gradient_checkpointing_enable() (w2v2_pr.py:33);
@@ -564,10 +591,19 @@ class Wav2Vec2Encoder(nn.Module):
         else:
             layer = nn.remat(EncoderLayer, static_argnums=(3,))
         all_hidden = [h] if output_hidden_states else None
-        for i in range(cfg.num_hidden_layers):
-            h = layer(cfg, name=f"layers_{i}")(h, frame_lengths, deterministic)
-            if output_hidden_states and i < cfg.num_hidden_layers - 1:
-                all_hidden.append(h)
+        if layer_stack_fn is not None:
+            if output_hidden_states:
+                raise ValueError(
+                    "layer_stack_fn and output_hidden_states are exclusive: "
+                    "an external stack executor returns only the final state"
+                )
+            h = layer_stack_fn(h, frame_lengths)
+        else:
+            for i in range(cfg.num_hidden_layers):
+                h = layer(cfg, name=f"layers_{i}")(
+                    h, frame_lengths, deterministic)
+                if output_hidden_states and i < cfg.num_hidden_layers - 1:
+                    all_hidden.append(h)
 
         if cfg.do_stable_layer_norm:
             h = nn.LayerNorm(epsilon=cfg.layer_norm_eps,

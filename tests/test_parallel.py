@@ -211,6 +211,49 @@ def test_fsdp_composes_with_tensor_parallel():
         assert np.isfinite(float(m["loss"]))
 
 
+def test_sequence_parallel_matches_unconstrained():
+    """Megatron-style sequence parallelism (cfg.activation_partition): with
+    the residual stream constrained to shard time over the tensor-parallel
+    axis, the TP=2 forward and one SGD step must match the unconstrained
+    single-device numerics — the constraint only moves work/memory, never
+    values."""
+    import optax
+
+    cfg_sp = tiny_config(apply_spec_augment=False,
+                         activation_partition=("data", MODEL_AXIS, None))
+    cfg_ref = tiny_config(apply_spec_augment=False)
+    model_sp, model_ref = W2V2PR(cfg_sp), W2V2PR(cfg_ref)
+    batch = _pr_batch(8)
+    variables = model_ref.init(
+        jax.random.PRNGKey(0), batch["audio"], batch["audio_lengths"],
+        batch["phoneme_labels"],
+    )
+    optimizer = optax.identity()
+
+    def run(model, mesh):
+        params = jax.tree.map(lambda x: jnp.array(np.asarray(x)),
+                              variables["params"])
+        state = create_train_state(params, optimizer)
+        if mesh is None:
+            step = make_train_step(_pr_loss_fn(model), optimizer)
+            state, m = step(state, batch, jax.random.PRNGKey(1),
+                            jnp.float32(1e-3))
+        else:
+            with mesh:
+                state = shard_tree(mesh, state)
+                sbatch = shard_batch(mesh, batch)
+                step = make_train_step(_pr_loss_fn(model), optimizer, mesh)
+                state, m = step(state, sbatch, jax.random.PRNGKey(1),
+                                jnp.float32(1e-3))
+        return float(m["loss"]), jax.tree.map(np.asarray, state.params)
+
+    loss_sp, params_sp = run(model_sp, make_mesh(data=4, model=2))
+    loss_ref, params_ref = run(model_ref, None)
+    assert abs(loss_sp - loss_ref) < 1e-5, (loss_sp, loss_ref)
+    for a, b in zip(jax.tree.leaves(params_sp), jax.tree.leaves(params_ref)):
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-6)
+
+
 def test_lr_schedule_contract():
     # reference train_phoneme_recognizer.py:280-288 docstring example
     vals = [lr_lambda(e, 10, 30, 0.96) for e in range(45)]
