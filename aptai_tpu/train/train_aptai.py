@@ -129,7 +129,9 @@ def run(cfg: APTAIConfig, tiny_backbone=None, speakers=None):
             "aptai_tpu.data.make_synthetic_hprc)"
         )
     hprc_df = pd.read_csv(cfg.hprc_csv_path)
-    if Path(cfg.vocab_path).exists():
+    # is_file(), not exists(): an empty --vocab_path resolves to "." (a
+    # directory) and must fall through to the manifest-derived vocab
+    if cfg.vocab_path and Path(cfg.vocab_path).is_file():
         vocab = load_vocab(cfg.vocab_path)
     else:  # fall back to manifest-derived vocab (synthetic / smoke runs)
         vocab = build_vocab(hprc_df.phoneme_labels)
