@@ -5,6 +5,7 @@ from aptai_tpu.infer.api import (
     APTAIPredictor,
     ForceAPTAIPredictor,
     W2V2PRPredictor,
+    fetch_outputs,
 )
 from aptai_tpu.infer.streaming import (StreamingAPTAI, StreamingForceAPTAI,
                                        StreamingPredictor)
@@ -23,6 +24,7 @@ __all__ = [
     "StreamingForceAPTAI",
     "StreamingPredictor",
     "MicroBatcher",
+    "fetch_outputs",
     "ServingBundle",
     "load_serving_bundle",
     "save_serving_bundle",

@@ -43,9 +43,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--batch_size", type=int, default=16,
                     help="wavs per device batch (batched families)")
     ap.add_argument("--transfer_dtype", default="float32",
-                    choices=("float32", "int16"),
+                    choices=("float32", "int16", "uint8_mulaw"),
                     help="int16 halves the host->device audio upload "
-                         "(lossless for 16-bit PCM sources)")
+                         "(lossless for 16-bit PCM sources); uint8_mulaw "
+                         "quarters it (G.711 mu-law, lossy ~38 dB SNR)")
     ap.add_argument("--dtype", default=None,
                     help="compute dtype override (e.g. float32 to run a "
                          "bf16-trained checkpoint on CPU)")

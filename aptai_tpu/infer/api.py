@@ -62,6 +62,56 @@ def dequantize_i16(audio):
     return audio.astype(jnp.float32) * (1.0 / 32768.0)
 
 
+def quantize_mulaw(audio: np.ndarray) -> np.ndarray:
+    """float waveform → 8-bit μ-law (G.711 continuous form, μ=255) for the
+    host→device transfer (quarter the float32 bytes).  Unlike
+    :func:`quantize_i16` this is LOSSY (~38 dB SNR on speech-level
+    signals — the standard telephony encoding), so it ships opt-in
+    (``transfer_dtype="uint8_mulaw"``) for links where the audio upload
+    dominates end-to-end latency (benchmarks/PERF.md round 3: serving
+    uploads run at ~40 MB/s on the tunnel).  Stored biased by +128 so the
+    wire dtype is uint8; :func:`dequantize_mulaw` inverts on device."""
+    x = np.clip(np.asarray(audio, np.float32), -1.0, 1.0)
+    mu = np.float32(255.0)
+    y = np.sign(x) * np.log1p(mu * np.abs(x)) / np.log1p(mu)
+    q = np.clip(np.rint(y * 127.0), -127, 127) + 128.0
+    return q.astype(np.uint8)
+
+
+def dequantize_mulaw(audio):
+    y = (audio.astype(jnp.float32) - 128.0) * (1.0 / 127.0)
+    mu = jnp.float32(255.0)
+    return jnp.sign(y) * (jnp.expm1(jnp.abs(y) * jnp.log1p(mu)) / mu)
+
+
+_QUANTIZERS = {"int16": quantize_i16, "uint8_mulaw": quantize_mulaw}
+
+
+def quantize_transfer(audio: np.ndarray, transfer_dtype: str) -> np.ndarray:
+    """Encode a host float waveform for upload per ``transfer_dtype``
+    ("float32" passes through; "int16" lossless for PCM sources;
+    "uint8_mulaw" lossy, quarter bytes)."""
+    if transfer_dtype == "float32":
+        return np.asarray(audio, np.float32)
+    try:
+        return _QUANTIZERS[transfer_dtype](audio)
+    except KeyError:
+        raise ValueError(
+            f"unknown transfer_dtype {transfer_dtype!r}; expected one of "
+            f"'float32', {sorted(_QUANTIZERS)}") from None
+
+
+def dequantize_transfer(audio):
+    """Device-side inverse of :func:`quantize_transfer`, keyed on dtype
+    (trace-time static): int16 → /32768, uint8 → μ-law expand, float
+    passes through."""
+    if audio.dtype == jnp.int16:
+        return dequantize_i16(audio)
+    if audio.dtype == jnp.uint8:
+        return dequantize_mulaw(audio)
+    return audio
+
+
 def _prepare(wavs: Sequence[np.ndarray], transfer_dtype: str = "float32"):
     lengths = np.asarray([len(w) for w in wavs], np.int32)
     width = _bucket(int(lengths.max()))
@@ -75,9 +125,26 @@ def _prepare(wavs: Sequence[np.ndarray], transfer_dtype: str = "float32"):
     lengths = np.concatenate(
         [lengths, np.full(rows - len(wavs), width, np.int32)]
     )
-    if transfer_dtype == "int16":
-        audio = quantize_i16(audio)
+    audio = quantize_transfer(audio, transfer_dtype)
     return jnp.asarray(audio), jnp.asarray(lengths)
+
+
+def fetch_outputs(out: Dict) -> Dict[str, np.ndarray]:
+    """Fetch a dict of device arrays to host numpy with ONE pipelined pass.
+
+    ``np.asarray`` per value is one *blocking* device→host round trip per
+    field — on the tunnel (~30 ms RTT) a three-field output dict costs
+    three RTTs serially.  Starting every transfer first
+    (``copy_to_host_async``) lets the fetches share the link in flight, so
+    the dict costs ~one round trip regardless of field count.  Values that
+    are not device arrays (host lists from split-beam decode, ints) pass
+    through ``np.asarray`` unchanged."""
+    for v in out.values():
+        try:
+            v.copy_to_host_async()
+        except AttributeError:
+            pass
+    return {k: np.asarray(v) for k, v in out.items()}
 
 
 def _tv_dict(tvs: np.ndarray) -> Dict[str, List[float]]:
@@ -120,6 +187,15 @@ def check_fields(requested, available, owner: str) -> None:
         )
 
 
+def _log_softmax_host(logits: np.ndarray) -> np.ndarray:
+    """Numerically stable log-softmax on host numpy — the logits are
+    already fetched, so re-uploading them to the device for
+    ``jax.nn.log_softmax`` would cost a full (B, T, V) round trip over
+    the link for a few MFLOPs of vector work."""
+    shifted = logits - logits.max(axis=-1, keepdims=True)
+    return shifted - np.log(np.exp(shifted).sum(axis=-1, keepdims=True))
+
+
 def _decode_with_times(log_probs: np.ndarray):
     nat = beam_search_native(log_probs)
     if nat is not None:
@@ -135,8 +211,9 @@ class APTAIPredictor:
         data axis and tensor-parallel parameters over the model axis
         (multi-chip serving; single-chip when None).  ``transfer_dtype``:
         "int16" halves the host→device audio upload (lossless for 16-bit
-        PCM sources — see :func:`quantize_i16`); the upload is the dominant
-        serving cost on a slow link (benchmarks/PERF.md round 3)."""
+        PCM sources — see :func:`quantize_i16`), "uint8_mulaw" quarters it
+        (G.711 μ-law, lossy — :func:`quantize_mulaw`); the upload is the
+        dominant serving cost on a slow link (benchmarks/PERF.md round 3)."""
         self.model = model
         self.mesh = mesh
         self.transfer_dtype = transfer_dtype
@@ -172,11 +249,14 @@ class APTAIPredictor:
         """Single-utterance dict, schema of reference models/aptai.py:174-179
         (probs transposed to (V, T) like the reference's ``.T``)."""
         out = self.predict_batch([np.asarray(wav, np.float32)])
-        n = int(out["frame_lengths"][0])
-        probs = np.asarray(out["phn_fc_probs"])[0, :n]
-        logits = np.asarray(out["phn_fc_logits"])[0, :n]
-        pred = np.asarray(out["phn_fc_pred"])[0, :n]
-        tvs = np.asarray(out["tvs_pred"])[0, :n]
+        host = fetch_outputs({k: out[k] for k in (
+            "frame_lengths", "phn_fc_probs", "phn_fc_logits",
+            "phn_fc_pred", "tvs_pred")})
+        n = int(host["frame_lengths"][0])
+        probs = host["phn_fc_probs"][0, :n]
+        logits = host["phn_fc_logits"][0, :n]
+        pred = host["phn_fc_pred"][0, :n]
+        tvs = host["tvs_pred"][0, :n]
         return {
             "phn_fc_probs": probs.T,
             "phn_fc_logits": logits,
@@ -200,8 +280,7 @@ def _selective_jit(model, method: str):
         key = None if fields is None else tuple(fields)
         if key not in cache:
             def fwd(p, *args):
-                if args[0].dtype == jnp.int16:
-                    args = (dequantize_i16(args[0]),) + args[1:]
+                args = (dequantize_transfer(args[0]),) + args[1:]
                 out = model.apply({"params": p}, *args, method=method)
                 if key is None:
                     return out
@@ -237,9 +316,7 @@ class ForceAPTAIPredictor:
         self._split_beam = model.decode_method == "beam_host"
         if self._split_beam:
             def encode(p, a, l):
-                if a.dtype == jnp.int16:
-                    a = dequantize_i16(a)
-                return model.apply({"params": p}, a, l,
+                return model.apply({"params": p}, dequantize_transfer(a), l,
                                    method="encode_frozen")
 
             self._encode = jax.jit(encode)
@@ -251,10 +328,8 @@ class ForceAPTAIPredictor:
             self._fwd_for = _selective_jit(model, "predict")
 
             def align(p, a, l):
-                if a.dtype == jnp.int16:
-                    a = dequantize_i16(a)
-                return model.apply({"params": p}, a, l,
-                                    method="get_alignment")
+                return model.apply({"params": p}, dequantize_transfer(a), l,
+                                   method="get_alignment")
 
             self._align = jax.jit(align)
 
@@ -307,15 +382,18 @@ class ForceAPTAIPredictor:
     def get_faptai_output(self, wav) -> Dict:
         """Schema of reference models/force_aptai.py:316-322."""
         out = self.predict_batch([np.asarray(wav, np.float32)])
-        n = int(out["frame_lengths"][0])
-        s = int(out["phn_seq_lengths"][0])
-        tvs = np.asarray(out["tvs_pred"])[0, :n]
+        host = fetch_outputs({k: out[k] for k in (
+            "frame_lengths", "phn_seq_lengths", "tvs_pred",
+            "pred_frame_phns", "pred_ctc_phn_seq", "hidden_alignment",
+            "hidden_tvs")})
+        n = int(host["frame_lengths"][0])
+        s = int(host["phn_seq_lengths"][0])
         return {
-            "tvs_pred": _tv_dict(tvs),
-            "pred_frame_phns": np.asarray(out["pred_frame_phns"])[0, :n].tolist(),
-            "pred_ctc_phn_seq": np.asarray(out["pred_ctc_phn_seq"])[0, :s].tolist(),
-            "hidden_alignment": np.asarray(out["hidden_alignment"])[0, :n],
-            "hidden_tvs": np.asarray(out["hidden_tvs"])[0, :n],
+            "tvs_pred": _tv_dict(host["tvs_pred"][0, :n]),
+            "pred_frame_phns": host["pred_frame_phns"][0, :n].tolist(),
+            "pred_ctc_phn_seq": host["pred_ctc_phn_seq"][0, :s].tolist(),
+            "hidden_alignment": host["hidden_alignment"][0, :n],
+            "hidden_tvs": host["hidden_tvs"][0, :n],
         }
 
     def get_alignment(self, wav) -> Dict:
@@ -330,10 +408,11 @@ class ForceAPTAIPredictor:
         else:
             out = _sharded_call(self.mesh, self._align,
                                 self.params, audio, lengths)
-        n = int(out["frame_lengths"][0])
-        s = int(out["phn_seq_lengths"][0])
-        att = np.asarray(out["alignment"])[0, :n, :s]
-        return {"alignment": att.T}
+        host = fetch_outputs({k: out[k] for k in (
+            "frame_lengths", "phn_seq_lengths", "alignment")})
+        n = int(host["frame_lengths"][0])
+        s = int(host["phn_seq_lengths"][0])
+        return {"alignment": host["alignment"][0, :n, :s].T}
 
 
 class W2V2PRPredictor:
@@ -367,21 +446,20 @@ class W2V2PRPredictor:
         """Reference models/w2v2_pr.py:124-167 contract: conv features,
         final hidden (B, H, T), logits (B, V, T), beam-decoded sequences,
         frame lengths.  Decoding is the host beam search at eval time."""
-        out = self.encode_batch(wavs)
-        frame_lengths = np.asarray(out["frame_lengths"])
+        out = fetch_outputs(self.encode_batch(wavs))
+        frame_lengths = out["frame_lengths"]
         logits = np.asarray(out["phoneme_logits"], np.float32)
-        log_probs = jax.nn.log_softmax(jnp.asarray(logits), axis=-1)
-        log_probs = np.asarray(log_probs)
+        log_probs = _log_softmax_host(logits)
         seqs = [
             decode_best(log_probs[b, : frame_lengths[b]])
             for b in range(len(wavs))
         ]
         n = len(wavs)  # == row count: encode_batch strips pad rows
         return {
-            "features_hidden": np.asarray(
-                out["features_hidden"])[:n].transpose(0, 2, 1),
-            "last_transf_hidden": np.asarray(
-                out["last_transf_hidden"])[:n].transpose(0, 2, 1),
+            "features_hidden":
+                out["features_hidden"][:n].transpose(0, 2, 1),
+            "last_transf_hidden":
+                out["last_transf_hidden"][:n].transpose(0, 2, 1),
             "phoneme_logits": logits[:n].transpose(0, 2, 1),
             "phn_pred_seq_idx": [np.asarray(s) for s in seqs],
             "frame_seq_lens": frame_lengths[:n],
@@ -389,20 +467,21 @@ class W2V2PRPredictor:
 
     def get_ctc_logits(self, wav) -> np.ndarray:
         """Reference models/w2v2_pr.py:170-188: (T, V) logits."""
-        out = self.encode_batch([np.asarray(wav, np.float32)])
+        out = fetch_outputs(self.encode_batch(
+            [np.asarray(wav, np.float32)], fields=("phoneme_logits",)))
         n = int(out["frame_lengths"][0])
-        return np.asarray(out["phoneme_logits"])[0, :n]
+        return np.asarray(out["phoneme_logits"][0, :n])
 
     def predict_phonemes_durations(self, wav, vocab=None) -> Dict:
         """Reference models/w2v2_pr.py:191-235: beam tokens + IPA + start
         times in seconds via ``frame_sec_ratio = len(wav)/T/16000``."""
         vocab = vocab or self.vocab
         wav = np.asarray(wav, np.float32)
-        out = self.encode_batch([wav])
+        out = fetch_outputs(self.encode_batch(
+            [wav], fields=("phoneme_logits",)))
         n = int(out["frame_lengths"][0])
-        logits = np.asarray(out["phoneme_logits"])[0, :n]
-        log_probs = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), -1))
-        tokens, times = _decode_with_times(log_probs)
+        logits = np.asarray(out["phoneme_logits"][0, :n], np.float32)
+        tokens, times = _decode_with_times(_log_softmax_host(logits))
         frame_sec_ratio = len(wav) / n / SAMPLE_RATE
         return {
             "phn_seq_idx": np.asarray(tokens),

@@ -67,14 +67,14 @@ def save_serving_bundle(
 
     ``fields`` restricts the exported outputs exactly like
     ``predict_batch(fields=...)`` (XLA dead-code-eliminates unserved heads
-    from the artifact itself).  ``transfer_dtype="int16"`` bakes the
-    on-device dequantization in, halving the serving upload
-    (infer/api.py:quantize_i16)."""
+    from the artifact itself).  ``transfer_dtype="int16"`` /
+    ``"uint8_mulaw"`` bake the on-device dequantization in, halving /
+    quartering the serving upload (infer/api.py:quantize_transfer)."""
     import jax
     import jax.numpy as jnp
     from jax import export as jexport
 
-    from aptai_tpu.infer.api import check_fields, dequantize_i16
+    from aptai_tpu.infer.api import check_fields, dequantize_transfer
 
     if getattr(model, "decode_method", "greedy") == "beam_host":
         # the in-jit host-callback beam search cannot serialize (and would
@@ -89,8 +89,7 @@ def save_serving_bundle(
     samples = int(seconds * SAMPLE_RATE)
 
     def fwd(p, audio, lengths):
-        if audio.dtype == jnp.int16:
-            audio = dequantize_i16(audio)
+        audio = dequantize_transfer(audio)
         out = model.apply({"params": p}, audio, lengths, method=method)
         if fields is not None:
             check_fields(fields, out, f"{type(model).__name__}.{method}")
@@ -98,7 +97,8 @@ def save_serving_bundle(
             out = {k: v for k, v in out.items() if k in keep}
         return out
 
-    audio_dtype = jnp.int16 if transfer_dtype == "int16" else jnp.float32
+    audio_dtype = {"float32": jnp.float32, "int16": jnp.int16,
+                   "uint8_mulaw": jnp.uint8}[transfer_dtype]
     params_spec = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
         params,
@@ -143,7 +143,7 @@ class ServingBundle:
         """Pad/chunk to the exported static shape, run, and return every
         output with leading dim ``len(wavs)`` (same contract as the live
         ``predict_batch``)."""
-        from aptai_tpu.infer.api import quantize_i16
+        from aptai_tpu.infer.api import quantize_transfer
 
         batch = int(self.meta["batch"])
         samples = int(self.meta["samples"])
@@ -166,8 +166,7 @@ class ServingBundle:
                 lengths[i] = len(w)
             # pad rows: full-length silence (infer/api.py:_prepare contract)
             lengths[len(group):] = samples
-            if self.meta["transfer_dtype"] == "int16":
-                audio = quantize_i16(audio)
+            audio = quantize_transfer(audio, self.meta["transfer_dtype"])
             out = self._exported.call(self.params, audio, lengths)
             parts.append({k: np.asarray(v)[: len(group)]
                           for k, v in out.items()})

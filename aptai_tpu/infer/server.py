@@ -116,7 +116,9 @@ class MicroBatcher:
         output is batch-leading — no shape heuristics.  Frame-axis arrays
         (second dim ≥ the item's frame count) are cut to the item's true
         frame length."""
-        host = {k: np.asarray(v) for k, v in out.items()}  # the fetch
+        from aptai_tpu.infer.api import fetch_outputs
+
+        host = fetch_outputs(out)  # one pipelined device→host pass
         frame_lengths = host["frame_lengths"]
         results = []
         for b in range(n_wavs):

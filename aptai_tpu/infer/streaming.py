@@ -52,9 +52,10 @@ class StreamingPredictor:
         so no cross-chip attention is needed).
 
         ``transfer_dtype="int16"`` halves the host→device audio upload
-        (lossless for 16-bit PCM sources — infer/api.py:quantize_i16); on a
-        slow link the *input upload* — tens of MB for long recordings — is
-        the dominant streaming cost (benchmarks/PERF.md round 3)."""
+        (lossless for 16-bit PCM sources — infer/api.py:quantize_i16) and
+        ``"uint8_mulaw"`` quarters it (G.711 μ-law, lossy); on a slow link
+        the *input upload* — tens of MB for long recordings — is the
+        dominant streaming cost (benchmarks/PERF.md round 3)."""
         if overlap_seconds >= chunk_seconds:
             raise ValueError("overlap must be smaller than the chunk")
         if getattr(model, "decode_method", "greedy") == "beam_host":
@@ -96,10 +97,9 @@ class StreamingPredictor:
         self.window = (g - 1) * self.hop + self.chunk
 
         def fwd_window(p, win, l):
-            from aptai_tpu.infer.api import dequantize_i16
+            from aptai_tpu.infer.api import dequantize_transfer
 
-            if win.dtype == jnp.int16:
-                win = dequantize_i16(win)
+            win = dequantize_transfer(win)
             a = jnp.stack([
                 jax.lax.dynamic_slice(win, (i * self.hop,), (self.chunk,))
                 for i in range(g)
@@ -111,10 +111,9 @@ class StreamingPredictor:
             return {k: v for k, v in out.items() if k in keep}
 
         def fwd(p, a, l):
-            from aptai_tpu.infer.api import dequantize_i16
+            from aptai_tpu.infer.api import dequantize_transfer
 
-            if a.dtype == jnp.int16:
-                a = dequantize_i16(a)
+            a = dequantize_transfer(a)
             out = model.apply({"params": p}, a, l, method="predict")
             return {k: v for k, v in out.items() if k in keep}
 
@@ -183,10 +182,9 @@ class StreamingPredictor:
             total = (n_groups - 1) * g * self.hop + self.window
             flat = np.zeros(total, np.float32)
             flat[: len(wav)] = wav[:total]
-            if self.transfer_dtype == "int16":
-                from aptai_tpu.infer.api import quantize_i16
+            from aptai_tpu.infer.api import quantize_transfer
 
-                flat = quantize_i16(flat)
+            flat = quantize_transfer(flat, self.transfer_dtype)
             for i in range(n_groups):
                 w0 = i * g * self.hop
                 lens_g = np.full((g,), self.chunk, np.int32)
@@ -199,12 +197,11 @@ class StreamingPredictor:
             padded = np.zeros((n_chunks, self.chunk), np.float32)
             for i, s in enumerate(starts):
                 padded[i, : lens[i]] = wav[s : s + lens[i]]
-            if self.transfer_dtype == "int16":
-                # the mesh path uploads the per-chunk stack; the halved
-                # transfer applies here exactly as on the window path
-                from aptai_tpu.infer.api import quantize_i16
+            # the mesh path uploads the per-chunk stack; the reduced-bytes
+            # transfer encodings apply here exactly as on the window path
+            from aptai_tpu.infer.api import quantize_transfer
 
-                padded = quantize_i16(padded)
+            padded = quantize_transfer(padded, self.transfer_dtype)
             for i0 in range(0, n_chunks, g):
                 grp = slice(i0, min(i0 + g, n_chunks))
                 p, l = padded[grp], lens[grp]
@@ -215,7 +212,9 @@ class StreamingPredictor:
                 device_outs.append(self._run_chunks(p, l))
 
         def fetch(out):
-            return {k: np.asarray(out[k]) for k in self.frame_keys}
+            from aptai_tpu.infer.api import fetch_outputs
+
+            return fetch_outputs({k: out[k] for k in self.frame_keys})
 
         if len(device_outs) > 1 and self.fetch_workers > 1:
             from concurrent.futures import ThreadPoolExecutor

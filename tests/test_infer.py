@@ -459,3 +459,72 @@ def test_streaming_rejects_beam_host_model(models):
     with pytest.raises(ValueError, match="beam"):
         StreamingForceAPTAI(beam_model, fp, chunk_seconds=2.0,
                             overlap_seconds=0.5)
+
+
+def test_fetch_outputs_pipelined_pass(models, rng):
+    """fetch_outputs converts a mixed dict (device arrays, host lists,
+    numpy) to host numpy with values identical to per-field np.asarray."""
+    import jax.numpy as jnp
+
+    from aptai_tpu.infer import fetch_outputs
+
+    out = {
+        "dev": jnp.arange(12.0).reshape(3, 4),
+        "host_list": [1, 2, 3],
+        "np": np.ones((2, 2), np.float32),
+    }
+    host = fetch_outputs(out)
+    for k in out:
+        got = host[k]
+        assert isinstance(got, np.ndarray)
+        np.testing.assert_array_equal(got, np.asarray(out[k]))
+
+
+def test_mulaw_transfer_codec():
+    """G.711 mu-law round trip: >30 dB SNR on speech-level audio, exact
+    zero, symmetric, and full-scale endpoints recovered within one step."""
+    import jax.numpy as jnp
+
+    from aptai_tpu.infer.api import dequantize_mulaw, quantize_mulaw
+
+    t = np.arange(16000, dtype=np.float32) / 16000.0
+    x = (0.1 * np.sin(2 * np.pi * 220 * t)
+         + 0.05 * np.sin(2 * np.pi * 1333 * t)).astype(np.float32)
+    q = quantize_mulaw(x)
+    assert q.dtype == np.uint8
+    y = np.asarray(dequantize_mulaw(jnp.asarray(q)))
+    snr_db = 10 * np.log10(np.mean(x ** 2) / np.mean((x - y) ** 2))
+    assert snr_db > 30.0, snr_db
+
+    # exact zero and symmetry
+    z = np.asarray(dequantize_mulaw(jnp.asarray(quantize_mulaw(
+        np.zeros(4, np.float32)))))
+    np.testing.assert_allclose(z, 0.0, atol=1e-7)
+    pm = np.asarray(dequantize_mulaw(jnp.asarray(quantize_mulaw(
+        np.asarray([0.5, -0.5], np.float32)))))
+    np.testing.assert_allclose(pm[0], -pm[1], atol=1e-6)
+    # full scale clamps, round-trips near +-1
+    fs = np.asarray(dequantize_mulaw(jnp.asarray(quantize_mulaw(
+        np.asarray([1.0, -1.0, 2.0], np.float32)))))
+    np.testing.assert_allclose(fs, [1.0, -1.0, 1.0], atol=1e-5)
+
+
+def test_mulaw_predictor_smoke_and_unknown_dtype_raises(models, rng):
+    (aptai, ap), _, _ = models
+    wav = (rng.standard_normal(3200) * 0.1).astype(np.float32)
+    f32 = APTAIPredictor(aptai, ap).predict_batch([wav])
+    mu = APTAIPredictor(aptai, ap,
+                        transfer_dtype="uint8_mulaw").predict_batch([wav])
+    assert np.asarray(mu["tvs_pred"]).shape == np.asarray(
+        f32["tvs_pred"]).shape
+    np.testing.assert_array_equal(np.asarray(mu["frame_lengths"]),
+                                  np.asarray(f32["frame_lengths"]))
+    # lossy but small: TV trajectories track the float32 path closely on
+    # a ~38 dB-SNR input perturbation
+    d = np.abs(np.asarray(mu["tvs_pred"], np.float32)
+               - np.asarray(f32["tvs_pred"], np.float32))
+    assert float(d.max()) < 0.2, float(d.max())
+
+    with pytest.raises(ValueError, match="transfer_dtype"):
+        APTAIPredictor(aptai, ap,
+                       transfer_dtype="int8").predict_batch([wav])
