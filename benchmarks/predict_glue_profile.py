@@ -8,6 +8,11 @@ softmax/argmax) and the two composed totals (full APTAI ``predict`` vs
 encoder-only) so the gap decomposes into named pieces instead of "~17 ms
 unaccounted".
 
+Methodology notes: params init on CPU and ``device_put`` (CLAUDE.md), and
+every jitted timing passes params/audio as ARGUMENTS — closure-captured
+megabyte constants make the staged HLO big enough to break the remote
+compile service (observed: two ~30-min broken-pipe failures).
+
     python benchmarks/predict_glue_profile.py [--iters 20]
 """
 
@@ -16,12 +21,26 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+import time
 
 import numpy as np
 
 sys.path.insert(0, ".")
 
-from benchmarks.encoder_profile import chain_time  # noqa: E402
+
+def chain_args_time(jfn, params, args, chain0, iters):
+    """bench.py methodology: jfn(params, *args, chain) -> scalar; chained
+    through `chain`, two warm calls (layout-stable second), one fetch."""
+    s = chain0
+    for _ in range(2):
+        s = jfn(params, *args, s)
+    _ = float(s)
+    t0 = time.perf_counter()
+    s = chain0
+    for _ in range(iters):
+        s = jfn(params, *args, s)
+    _ = float(s)
+    return (time.perf_counter() - t0) / iters
 
 
 def main():
@@ -46,80 +65,96 @@ def main():
     dtype = jnp.bfloat16
     HID = cfg.hidden_size
     rng = np.random.default_rng(0)
-    key = jax.random.PRNGKey(0)
 
     samples = 16_000 * SECONDS
     audio = jnp.asarray(rng.standard_normal((B, samples)) * 0.1, jnp.float32)
-    lengths = jnp.full((B,), samples, jnp.int32)
+    lengths = jnp.asarray(np.full((B,), samples, np.int32))
     t_frames = int(cfg.feat_extract_output_lengths(np.asarray(samples)))
 
     model = APTAI(cfg, num_phonemes=46)
-    variables = model.init(key, audio, lengths, method="predict")
-    params = variables["params"]
+    with jax.default_device(jax.devices("cpu")[0]):
+        variables = jax.jit(
+            lambda k: model.init(
+                k, jnp.zeros((1, 16000), jnp.float32),
+                jnp.full((1,), 16000, jnp.int32), method="predict",
+            ), backend="cpu")(jax.random.PRNGKey(0))
+    params = jax.device_put(variables["params"], jax.devices()[0])
 
     results = {"t_frames": t_frames}
+    z = jnp.float32(0.0)
 
-    # ---- composed totals (real modules, real params)
-    def predict_full(a):
-        out = model.apply({"params": params},
-                          audio + a[0].astype(audio.dtype) * 0, lengths,
+    # ---- composed totals (real modules, real params, bench.py-style)
+    @jax.jit
+    def predict_full(p, a, l, chain):
+        out = model.apply({"params": p}, a + 0.0 * chain, l,
                           method="predict")
         return (jnp.sum(out["tvs_pred"])
-                + jnp.sum(out["phn_fc_pred"].astype(jnp.float32))
-                )[None].astype(jnp.bfloat16)
+                + jnp.sum(out["phn_fc_pred"].astype(jnp.float32)))
 
-    results["predict_total_ms"] = 1e3 * chain_time(
-        predict_full, jnp.zeros((1,), dtype), args.iters)
+    results["predict_total_ms"] = 1e3 * chain_args_time(
+        predict_full, params, (audio, lengths), z, args.iters)
 
     enc = Wav2Vec2Encoder(cfg)
     enc_params = params["encoder"]
 
-    def encoder_only(a):
-        h, _, _ = enc.apply({"params": enc_params},
-                            audio + a[0].astype(audio.dtype) * 0, lengths,
+    @jax.jit
+    def encoder_only(p, a, l, chain):
+        h, _, _ = enc.apply({"params": p}, a + 0.0 * chain, l,
                             deterministic=True)
-        return jnp.sum(h)[None].astype(jnp.bfloat16)
+        return jnp.sum(h).astype(jnp.float32)
 
-    results["encoder_total_ms"] = 1e3 * chain_time(
-        encoder_only, jnp.zeros((1,), dtype), args.iters)
+    results["encoder_total_ms"] = 1e3 * chain_args_time(
+        encoder_only, enc_params, (audio, lengths), z, args.iters)
 
     # ---- glue pieces at the real activation shapes
     x512 = jnp.asarray(rng.standard_normal((B, t_frames, 512)), dtype)
     x1024 = jnp.asarray(rng.standard_normal((B, t_frames, HID)), dtype)
 
     fp = FeatureProjection(cfg)
-    fp_vars = fp.init(key, x512, True)
-    results["feature_projection_ms"] = 1e3 * chain_time(
-        lambda a: fp.apply(fp_vars, a, True), x512, args.iters)
+    with jax.default_device(jax.devices("cpu")[0]):
+        fp_vars = jax.device_put(
+            fp.init(jax.random.PRNGKey(1), jnp.zeros((1, 8, 512), dtype),
+                    True),
+            jax.devices()[0])
+
+    @jax.jit
+    def fp_step(v, x, chain):
+        out = fp.apply(v, x + chain.astype(x.dtype), True)
+        return jnp.sum(out).astype(jnp.float32)
+
+    results["feature_projection_ms"] = 1e3 * chain_args_time(
+        fp_step, fp_vars, (x512,), z, args.iters)
 
     ln = nn.LayerNorm(dtype=dtype)
-    ln_vars = ln.init(key, x1024)
-    results["final_layernorm_ms"] = 1e3 * chain_time(
-        lambda a: ln.apply(ln_vars, a), x1024, args.iters)
+    ln_vars = ln.init(jax.random.PRNGKey(2), jnp.zeros((1, 8, HID), dtype))
 
-    frame_mask = jnp.ones((B, t_frames, 1), dtype)
-    results["frame_mask_mul_ms"] = 1e3 * chain_time(
-        lambda a: a * frame_mask, x1024, args.iters)
+    @jax.jit
+    def ln_step(v, x, chain):
+        return jnp.sum(ln.apply(v, x + chain.astype(x.dtype))
+                       ).astype(jnp.float32)
+
+    results["final_layernorm_ms"] = 1e3 * chain_args_time(
+        ln_step, ln_vars, (x1024,), z, args.iters)
 
     # heads exactly as models/aptai.py::_heads (eval: dropout inactive)
     w_tv = jnp.asarray(rng.standard_normal((HID, 9)) * 0.02, jnp.float32)
     w_ph = jnp.asarray(rng.standard_normal((HID, 46)) * 0.02, jnp.float32)
-    taps = lowpass_fir_taps(10.0, 49.0)
+    taps = jnp.asarray(lowpass_fir_taps(10.0, 49.0))
 
-    def heads(a):
-        tv = jnp.tanh(a)
-        tv = tv.astype(jnp.float32) @ w_tv
-        tv = fir_lowpass(tv, taps)
-        ph = nn.leaky_relu(a).astype(jnp.float32) @ w_ph
-        probs = jax.nn.softmax(ph, axis=-1)
-        pred = jnp.argmax(probs, axis=-1)
-        return (jnp.sum(tv) + jnp.sum(pred.astype(jnp.float32))
-                )[None].astype(jnp.bfloat16)
+    @jax.jit
+    def heads_step(ws, x, chain):
+        wt, wp, tp = ws
+        a = x + chain.astype(x.dtype)
+        tv = jnp.tanh(a).astype(jnp.float32) @ wt
+        tv = fir_lowpass(tv, tp)
+        ph = nn.leaky_relu(a).astype(jnp.float32) @ wp
+        pred = jnp.argmax(jax.nn.softmax(ph, axis=-1), axis=-1)
+        return jnp.sum(tv) + jnp.sum(pred.astype(jnp.float32))
 
-    results["heads_tv_phn_ms"] = 1e3 * chain_time(
-        lambda a: heads(x1024 + a[0] * 0), jnp.zeros((1,), dtype), args.iters)
+    results["heads_tv_phn_ms"] = 1e3 * chain_args_time(
+        heads_step, (w_tv, w_ph, taps), (x1024,), z, args.iters)
 
-    results["heads_glue_delta_ms"] = (
+    results["glue_delta_ms"] = (
         results["predict_total_ms"] - results["encoder_total_ms"])
 
     for k, v in results.items():

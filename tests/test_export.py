@@ -108,3 +108,21 @@ def test_bundle_rejects_empty_request(aptai_model, tmp_path):
         platforms=("cpu",)))
     with pytest.raises(ValueError, match="at least one"):
         bundle.predict_batch([])
+
+
+def test_bundle_mulaw_transfer(aptai_model, tmp_path, rng):
+    """mu-law bundles run end-to-end from the artifact; outputs track the
+    float32 bundle within the lossy-codec tolerance."""
+    model, params = aptai_model
+    wav = (rng.standard_normal(4000) * 0.1).astype(np.float32)
+    f32 = load_serving_bundle(save_serving_bundle(
+        tmp_path / "f32m", model, params, batch=1, seconds=0.5,
+        platforms=("cpu",))).predict_batch([wav])
+    mu = load_serving_bundle(save_serving_bundle(
+        tmp_path / "mu", model, params, batch=1, seconds=0.5,
+        transfer_dtype="uint8_mulaw", platforms=("cpu",))).predict_batch(
+        [wav])
+    assert mu["tvs_pred"].shape == f32["tvs_pred"].shape
+    d = np.abs(np.asarray(mu["tvs_pred"], np.float32)
+               - np.asarray(f32["tvs_pred"], np.float32))
+    assert float(d.max()) < 0.2, float(d.max())
