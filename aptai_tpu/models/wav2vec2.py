@@ -569,6 +569,25 @@ class Wav2Vec2Encoder(nn.Module):
         if not cfg.do_stable_layer_norm:
             h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="layer_norm")(h)
         h = nn.Dropout(cfg.hidden_dropout)(h, deterministic=deterministic)
+        # Pad the time axis ONCE to the attention tile quantum before the
+        # layer loop (sliced back after).  Otherwise EVERY layer pads
+        # q/k/v to the tile size and slices its output back (e.g. the
+        # 10 s shape runs T=499 → 512), and those per-layer pad/slice
+        # copies break XLA's projection/epilogue fusions: the composed
+        # 24-layer stack measured 102.5 ms vs 83.9 ms isolated at T=512
+        # (benchmarks/prologue_profile.py — an 18% stack tax).  Numerics
+        # are unchanged: attention masks keys by frame_lengths with
+        # SELECT-based masking, all other ops are frame-local, and pad
+        # rows stay finite (LayerNorm renormalizes them; quant scales are
+        # zero-guarded), so valid rows never see pad values.
+        t_real = h.shape[1]
+        t_tile = -(-t_real // 128) * 128  # attention _MIN_BLOCK quantum
+        if layer_stack_fn is None and t_tile != t_real:
+            h = jnp.pad(h, ((0, 0), (0, t_tile - t_real), (0, 0)))
+
+        def _unpad(x):
+            return x[:, :t_real] if x.shape[1] != t_real else x
+
         if layer_stack_fn is None:
             h = _constrain_seq(h, cfg)
 
@@ -590,7 +609,7 @@ class Wav2Vec2Encoder(nn.Module):
             )
         else:
             layer = nn.remat(EncoderLayer, static_argnums=(3,))
-        all_hidden = [h] if output_hidden_states else None
+        all_hidden = [_unpad(h)] if output_hidden_states else None
         if layer_stack_fn is not None:
             if output_hidden_states:
                 raise ValueError(
@@ -603,7 +622,8 @@ class Wav2Vec2Encoder(nn.Module):
                 h = layer(cfg, name=f"layers_{i}")(
                     h, frame_lengths, deterministic)
                 if output_hidden_states and i < cfg.num_hidden_layers - 1:
-                    all_hidden.append(h)
+                    all_hidden.append(_unpad(h))
+        h = _unpad(h)
 
         if cfg.do_stable_layer_norm:
             h = nn.LayerNorm(epsilon=cfg.layer_norm_eps,
