@@ -479,6 +479,18 @@ def _compute_time_mask(rng, batch: int, t: int, lengths, prob: float,
     return jnp.any(in_span & valid_span[:, :, None], axis=1)  # (B, T)
 
 
+def _stack_pads_to_tiles(b: int, heads: int, t_tile: int, d: int) -> bool:
+    """Whether the encoder pads the whole layer stack to the attention
+    tile quantum: exactly when the flash kernel (which tiles in 128-frame
+    blocks and would otherwise pad per layer) will take the dispatch —
+    XLA's fused attention runs any T directly, so padding for it is pure
+    extra GEMM work.  Module-level so tests can force the padded path on
+    CPU (tests/test_models.py)."""
+    from aptai_tpu.ops.attention import _use_flash
+
+    return _use_flash(b, heads, t_tile, d)
+
+
 class Wav2Vec2Encoder(nn.Module):
     """Full backbone: feature extractor → projection → transformer stack.
 
@@ -570,19 +582,27 @@ class Wav2Vec2Encoder(nn.Module):
             h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="layer_norm")(h)
         h = nn.Dropout(cfg.hidden_dropout)(h, deterministic=deterministic)
         # Pad the time axis ONCE to the attention tile quantum before the
-        # layer loop (sliced back after).  Otherwise EVERY layer pads
-        # q/k/v to the tile size and slices its output back (e.g. the
-        # 10 s shape runs T=499 → 512), and those per-layer pad/slice
-        # copies break XLA's projection/epilogue fusions: the composed
-        # 24-layer stack measured 102.5 ms vs 83.9 ms isolated at T=512
-        # (benchmarks/prologue_profile.py — an 18% stack tax).  Numerics
-        # are unchanged: attention masks keys by frame_lengths with
-        # SELECT-based masking, all other ops are frame-local, and pad
-        # rows stay finite (LayerNorm renormalizes them; quant scales are
+        # layer loop (sliced back after) — but only on shapes that take
+        # the Pallas flash path, which tiles in 128-frame blocks:
+        # otherwise EVERY layer pads q/k/v to the tile size and slices
+        # its output back (e.g. the 10 s shape runs T=499 → 512), and
+        # those per-layer pad/slice copies break XLA's
+        # projection/epilogue fusions — the composed 24-layer stack
+        # measured 102.5 ms vs 83.9 ms isolated at T=512
+        # (benchmarks/prologue_profile.py, an 18% stack tax).  Small
+        # shapes dispatch to XLA's fused attention, which runs any T
+        # directly — padding there is pure extra GEMM work (measured
+        # −3% on the 8×5 s training shape).  Numerics are unchanged:
+        # attention masks keys by frame_lengths with SELECT-based
+        # masking, all other ops are frame-local, and pad rows stay
+        # finite (LayerNorm renormalizes them; quant scales are
         # zero-guarded), so valid rows never see pad values.
         t_real = h.shape[1]
         t_tile = -(-t_real // 128) * 128  # attention _MIN_BLOCK quantum
-        if layer_stack_fn is None and t_tile != t_real:
+        if (layer_stack_fn is None and t_tile != t_real
+                and _stack_pads_to_tiles(
+                    b, cfg.num_attention_heads, t_tile,
+                    cfg.hidden_size // cfg.num_attention_heads)):
             h = jnp.pad(h, ((0, 0), (0, t_tile - t_real), (0, 0)))
 
         def _unpad(x):

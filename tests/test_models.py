@@ -408,3 +408,44 @@ def test_gelu_auto_mode_error_within_bf16_noise(rng):
     # and f32 keeps exact erf under "auto"
     auto_f32 = run(dataclasses.replace(cfg_f32, gelu="auto"))
     np.testing.assert_array_equal(auto_f32, ref)
+
+
+def test_stack_tile_padding_matches_unpadded():
+    """The one-time stack pad (wav2vec2._stack_pads_to_tiles gate) must be
+    numerically invisible: valid rows identical with and without it.
+    Forced on here (CPU shapes normally dispatch to XLA attention and skip
+    it) over a T not on the 128-frame grid."""
+    import jax
+    import jax.numpy as jnp
+
+    from aptai_tpu.models import W2V2PR, tiny_config
+    from aptai_tpu.models import wav2vec2 as w2v_mod
+
+    cfg = tiny_config()
+    rng = np.random.default_rng(7)
+    # two lengths -> distinct frame_lengths exercise the key masking
+    audio = jnp.asarray(rng.standard_normal((2, 4000)).astype(np.float32))
+    lens = jnp.asarray(np.array([4000, 2500], np.int32))
+    model = W2V2PR(cfg)
+    variables = model.init(jax.random.PRNGKey(0), audio, lens,
+                           method="encode")
+
+    def fwd():
+        return model.apply(variables, audio, lens, method="encode")
+
+    base = fwd()
+    t = int(np.asarray(base["phoneme_logits"]).shape[1])
+    assert t % 128 != 0, "test needs a T off the tile grid"
+
+    orig = w2v_mod._stack_pads_to_tiles
+    w2v_mod._stack_pads_to_tiles = lambda *a: True
+    try:
+        padded = fwd()
+    finally:
+        w2v_mod._stack_pads_to_tiles = orig
+
+    for k in base:
+        np.testing.assert_allclose(
+            np.asarray(base[k], np.float32), np.asarray(padded[k],
+                                                        np.float32),
+            rtol=0, atol=1e-5, err_msg=k)
