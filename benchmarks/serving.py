@@ -29,9 +29,10 @@ def main():
                          "the measured optima; benchmarks/PERF.md round 3)")
     ap.add_argument("--chunk_batch", type=int, default=8)
     ap.add_argument("--transfer_dtype", default="int16",
-                    choices=["float32", "int16"],
-                    help="audio upload encoding (int16 = half the bytes; "
-                         "lossless for 16-bit PCM sources)")
+                    choices=["float32", "int16", "uint8_mulaw"],
+                    help="audio upload encoding (int16 = half the bytes, "
+                         "lossless for 16-bit PCM sources; uint8_mulaw = "
+                         "quarter, G.711 mu-law lossy)")
     ap.add_argument("--stream_reps", type=int, default=3)
     ap.add_argument("--max_batch", type=int, default=16)
     ap.add_argument("--skip_serving", action="store_true")
