@@ -14,8 +14,9 @@ collectives.  The supported axes:
   * **sp** — sequence-parallel activations between the tensor-parallel
     matmuls (``Wav2Vec2Config.activation_partition``; reduce-scatter +
     all-gather instead of all-reduce);
-  * **pp** — GPipe pipeline over a ``pipe`` axis for the transformer layer
-    stack (``pipeline.py``: shard_map + ppermute, differentiable);
+  * **pp** — pipeline over a ``pipe`` axis for the transformer layer
+    stack (``pipeline.py``: shard_map + ppermute, differentiable; GPipe
+    or the V×-lower-bubble interleaved/circular schedule);
   * **ep** — deliberately absent: the model family has no MoE layers
     (nothing in the reference to expert-shard; see pipeline.py docstring).
 """
@@ -32,8 +33,10 @@ from aptai_tpu.parallel.mesh import (
 )
 from aptai_tpu.parallel.pipeline import (
     PIPE_AXIS,
+    interleaved_layer_order,
     pipeline_layer_stack,
     pipelined_encoder_apply,
+    schedule_ticks,
     split_layer_params,
     stage_sharding,
     unstack_layer_params,
@@ -43,8 +46,10 @@ __all__ = [
     "DATA_AXIS",
     "MODEL_AXIS",
     "PIPE_AXIS",
+    "interleaved_layer_order",
     "make_mesh",
     "batch_sharding",
+    "schedule_ticks",
     "param_shardings",
     "pipeline_layer_stack",
     "pipelined_encoder_apply",

@@ -26,11 +26,26 @@ Design notes (TPU-first):
   * composes with data parallelism: the per-microbatch batch dimension may
     be sharded over the ``data`` axis (``data_axis=``).
 
-This is the straightforward GPipe fill/drain schedule: bubble fraction
-``(S−1)/(M+S−1)``, driven down by more microbatches.  A 1F1B/interleaved
-schedule is a throughput refinement, not a semantic change; the sharding
-and collective structure — what multi-chip correctness depends on — is
-fully exercised here (tests/test_pipeline.py runs it on the virtual mesh).
+Two schedules share the machinery:
+
+  * ``interleave=1`` (default) — the straightforward GPipe fill/drain
+    schedule: bubble fraction ``(S−1)/(M+S−1)``, driven down by more
+    microbatches;
+  * ``interleave=V>1`` — the Megatron-style interleaved (circular)
+    schedule: each device holds ``V`` layer *chunks* at stride ``S``
+    (device ``s`` owns global chunks ``v·S+s``), microbatches run in
+    groups of ``S`` and cycle through the chunks over a RING ppermute
+    (the extra wraparound edge ``S−1 → 0``).  Per-tick work is ``1/V``
+    of a GPipe tick and the tick count is ``V·M + S − 1``, so the bubble
+    fraction shrinks ``V×`` to ``(S−1)/(V·M+S−1)`` at the cost of ``V×``
+    as many (smaller) ICI transfers.  The grouped microbatch order makes
+    the wraparound message arrive exactly at the tick stage 0 consumes
+    it, so no in-flight buffering queue is needed — the single ``buf``
+    register of the GPipe loop carries both schedules.
+
+Both are numerically the sequential layer loop (tests/test_pipeline.py
+pins forward + gradient parity on the virtual mesh); the choice is purely
+a bubble/communication trade measured in benchmarks/pp_schedule_ab.py.
 
 Expert parallelism has no target in this model family (no MoE layers in
 the reference or the rebuild), so ``ep`` is deliberately absent rather
@@ -93,6 +108,38 @@ def unstack_layer_params(stacked):
     }
 
 
+def interleaved_layer_order(n_layers: int, n_stages: int, interleave: int):
+    """Stacking permutation for the interleaved schedule.
+
+    Returns original-layer indices ordered so that a contiguous
+    ``P("pipe")`` shard of the restacked tree gives device ``s`` exactly
+    its virtual chunks ``[v·S+s for v in range(V)]``, each of
+    ``n_layers/(S·V)`` consecutive layers, concatenated in ``v`` order.
+    """
+    csz, rem = divmod(n_layers, n_stages * interleave)
+    if rem:
+        raise ValueError(
+            f"{n_layers} layers not divisible into {n_stages} stages x "
+            f"{interleave} chunks")
+    order = []
+    for s in range(n_stages):
+        for v in range(interleave):
+            chunk = v * n_stages + s
+            order.extend(range(chunk * csz, (chunk + 1) * csz))
+    return order
+
+
+def schedule_ticks(num_microbatches: int, n_stages: int,
+                   interleave: int = 1) -> int:
+    """Static tick count of the pipeline loop: ``V·M + S − 1``.
+
+    Per-device executed work is ``ticks / V`` full-stage units (useful
+    work ``M``), so the bubble fraction is ``(S−1)/(V·M+S−1)`` — the
+    interleaved schedule divides GPipe's bubble by ``V``.
+    """
+    return interleave * num_microbatches + n_stages - 1
+
+
 def stage_sharding(mesh: Mesh, stacked, axis: str = PIPE_AXIS):
     """NamedShardings placing a stacked layer tree ``P(axis)`` over its
     leading (layer) axis — each pipeline stage holds only its layers."""
@@ -109,10 +156,16 @@ def pipeline_layer_stack(
     mesh: Mesh,
     *,
     num_microbatches: Optional[int] = None,
+    interleave: int = 1,
     axis: str = PIPE_AXIS,
     data_axis: Optional[str] = None,
 ) -> jnp.ndarray:
-    """Run the transformer layer stack as a GPipe pipeline over ``axis``.
+    """Run the transformer layer stack as a pipeline over ``axis``.
+
+    ``interleave=1`` is the GPipe schedule; ``interleave=V>1`` the
+    circular/interleaved schedule (module docstring) — it requires
+    ``stacked_params`` already restacked in :func:`interleaved_layer_order`
+    (``pipelined_encoder_apply`` does this) and ``M`` a multiple of ``S``.
 
     Matches the sequential layer loop of ``Wav2Vec2Encoder.__call__``
     numerically (deterministic path — layer dropout keys are not threaded
@@ -132,25 +185,35 @@ def pipeline_layer_stack(
 
     n_stages = mesh.shape[axis]
     n_layers = jax.tree.leaves(stacked_params)[0].shape[0]
-    if n_layers % n_stages:
+    if n_stages == 1:
+        interleave = 1  # circular schedule is meaningless on one stage
+    v_chunks = interleave
+    if n_layers % (n_stages * v_chunks):
         raise ValueError(f"{n_layers} layers not divisible into "
-                         f"{n_stages} stages")
+                         f"{n_stages} stages x {v_chunks} chunks")
     b = h.shape[0]
     m = num_microbatches if num_microbatches is not None else n_stages
     if b % m:
         raise ValueError(f"batch {b} not divisible into {m} microbatches")
+    if v_chunks > 1 and m % n_stages:
+        # the grouped order needs whole groups of S microbatches so the
+        # ring wraparound lands exactly on stage 0's consuming tick
+        raise ValueError(f"interleave={v_chunks} needs microbatches ({m}) "
+                         f"divisible by stages ({n_stages})")
     mb = b // m
 
     layer_module = EncoderLayer(cfg)
+    local_layers = n_layers // n_stages
+    csz = local_layers // v_chunks
 
-    def _stage(local_params, x, lens):
-        """Apply this stage's ``n_layers // n_stages`` layers in sequence."""
+    def _apply_layers(chunk_params, x, lens):
+        """Apply a stacked slice of layers in sequence."""
 
         def body(carry, lp):
             out = layer_module.apply({"params": lp}, carry, lens, True)
             return out, None
 
-        x, _ = jax.lax.scan(body, x, local_params)
+        x, _ = jax.lax.scan(body, x, chunk_params)
         return x
 
     def _pipe(local_params, h_mb, lens_mb):
@@ -158,19 +221,48 @@ def pipeline_layer_stack(
         sid = jax.lax.axis_index(axis)
         buf = jnp.zeros_like(h_mb[0])
         outs = jnp.zeros_like(h_mb)
-        for t in range(m + n_stages - 1):
-            # stage s works on microbatch (t - s) at tick t
-            mb_idx = jnp.clip(t - sid, 0, m - 1)
-            x = jnp.where(sid == 0, h_mb[min(t, m - 1)], buf)
-            out = _stage(local_params, x, lens_mb[mb_idx])
-            # the last stage finishes microbatch (t - (S-1)) at tick t
-            write = (sid == n_stages - 1) & (t >= n_stages - 1)
-            upd = jax.lax.dynamic_update_index_in_dim(
-                outs, out, jnp.clip(t - (n_stages - 1), 0, m - 1), 0)
+        if n_stages > 1:
+            perm = [(i, i + 1) for i in range(n_stages - 1)]
+            if v_chunks > 1:
+                perm.append((n_stages - 1, 0))  # chunk wraparound ring
+        for t in range(schedule_ticks(m, n_stages, v_chunks)):
+            if v_chunks == 1:
+                # GPipe: stage s works on microbatch (t - s) at tick t
+                j = jnp.clip(t - sid, 0, m - 1)
+                x_src = h_mb[min(t, m - 1)]
+                # the last stage finishes microbatch t-(S-1) at tick t
+                write = (sid == n_stages - 1) & (t >= n_stages - 1)
+                chunk_params = local_params
+            else:
+                # interleaved: grouped order — stage s at tick t runs
+                # chunk v of microbatch g*S+jj where r = t-s decomposes
+                # as r = g*(V*S) + v*S + jj
+                r = jnp.clip(t - sid, 0, v_chunks * m - 1)
+                g = r // (v_chunks * n_stages)
+                w = r % (v_chunks * n_stages)
+                v = w // n_stages
+                j = g * n_stages + w % n_stages
+                x_src = jnp.where(
+                    v == 0,
+                    jax.lax.dynamic_index_in_dim(h_mb, j, 0, False),
+                    buf,  # wraparound from stage S-1 (previous chunk)
+                )
+                write = ((sid == n_stages - 1) & (v == v_chunks - 1)
+                         & (t - sid >= 0) & (t - sid < v_chunks * m))
+                chunk_params = jax.tree.map(
+                    lambda p: jax.lax.dynamic_slice_in_dim(
+                        p, v * csz, csz, 0),
+                    local_params)
+            # stage 0 consumes x_src (for V>1, x_src itself selects the
+            # ring wraparound when v > 0); stages > 0 consume the ring
+            x = jnp.where(sid == 0, x_src, buf)
+            out = _apply_layers(
+                chunk_params, x,
+                jax.lax.dynamic_index_in_dim(lens_mb, j, 0, False))
+            upd = jax.lax.dynamic_update_index_in_dim(outs, out, j, 0)
             outs = jnp.where(write, upd, outs)
             if n_stages > 1:
-                buf = jax.lax.ppermute(
-                    out, axis, [(i, i + 1) for i in range(n_stages - 1)])
+                buf = jax.lax.ppermute(out, axis, perm)
         # broadcast the finished microbatches from the last stage to all
         # pipeline ranks (psum of a one-stage-hot buffer)
         return jax.lax.psum(
@@ -202,23 +294,33 @@ def pipelined_encoder_apply(
     mesh: Mesh,
     *,
     num_microbatches: Optional[int] = None,
+    interleave: int = 1,
     axis: str = PIPE_AXIS,
     data_axis: Optional[str] = None,
 ):
     """Full ``Wav2Vec2Encoder`` forward with the layer stack pipelined.
 
     Prologue/epilogue run as plain SPMD ops from the SAME parameter tree;
-    only the ``layers_*`` subtrees are restacked and fed to the schedule.
-    Returns ``(hidden, frame_lengths, extract_features)`` exactly like
-    ``encoder.apply`` — and is differentiable w.r.t. ``variables``.
+    only the ``layers_*`` subtrees are restacked (in
+    :func:`interleaved_layer_order` when ``interleave > 1``) and fed to
+    the schedule.  Returns ``(hidden, frame_lengths, extract_features)``
+    exactly like ``encoder.apply`` — and is differentiable w.r.t.
+    ``variables``.
     """
     stacked, _ = split_layer_params(variables["params"])
+
+    n_stages = mesh.shape[axis]
+    if interleave > 1 and n_stages > 1:
+        n_layers = jax.tree.leaves(stacked)[0].shape[0]
+        order = jnp.asarray(
+            interleaved_layer_order(n_layers, n_stages, interleave))
+        stacked = jax.tree.map(lambda x: x[order], stacked)
 
     def stack_fn(h, frame_lengths):
         return pipeline_layer_stack(
             encoder.cfg, stacked, h, frame_lengths, mesh,
-            num_microbatches=num_microbatches, axis=axis,
-            data_axis=data_axis,
+            num_microbatches=num_microbatches, interleave=interleave,
+            axis=axis, data_axis=data_axis,
         )
 
     return encoder.apply(

@@ -14,7 +14,9 @@ from jax.sharding import Mesh
 
 from aptai_tpu.models import Wav2Vec2Encoder, tiny_config
 from aptai_tpu.parallel.pipeline import (
+    interleaved_layer_order,
     pipelined_encoder_apply,
+    schedule_ticks,
     split_layer_params,
     unstack_layer_params,
 )
@@ -93,6 +95,80 @@ def test_pp_composes_with_data_parallel(encoder_setup):
     np.testing.assert_allclose(
         np.asarray(h), np.asarray(ref_h), atol=1e-5, rtol=1e-5
     )
+
+
+@pytest.mark.parametrize("n_stages,n_micro,interleave",
+                         [(2, 2, 2), (2, 4, 2), (4, 4, 1)])
+def test_pp_interleaved_forward_matches_sequential(
+        encoder_setup, n_stages, n_micro, interleave):
+    """The circular schedule (V layer chunks at stride S per device) is
+    numerically the sequential layer loop, like GPipe."""
+    enc, variables, audio, lens, ref_h, ref_fl = encoder_setup
+    mesh = _pipe_mesh(n_stages)
+    with mesh:
+        h, fl, _ = pipelined_encoder_apply(
+            enc, variables, audio, lens, mesh,
+            num_microbatches=n_micro, interleave=interleave,
+        )
+    np.testing.assert_array_equal(np.asarray(fl), np.asarray(ref_fl))
+    np.testing.assert_allclose(
+        np.asarray(h), np.asarray(ref_h), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_pp_interleaved_gradients_match_sequential(encoder_setup):
+    enc, variables, audio, lens, _, _ = encoder_setup
+    mesh = _pipe_mesh(2)
+
+    def loss_pp(v):
+        h, _, _ = pipelined_encoder_apply(
+            enc, v, audio, lens, mesh, num_microbatches=2, interleave=2
+        )
+        return jnp.mean(h**2)
+
+    def loss_ref(v):
+        h, _, _ = enc.apply(v, audio, lens, deterministic=True)
+        return jnp.mean(h**2)
+
+    with mesh:
+        g_pp = jax.grad(loss_pp)(variables)
+    g_ref = jax.grad(loss_ref)(variables)
+    for a, b in zip(jax.tree.leaves(g_pp), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4
+        )
+
+
+def test_interleaved_layer_order_and_ticks():
+    # L=24, S=4, V=2: chunk size 3; device s holds chunks (s, 4+s) ->
+    # contiguous shard s covers layers [3s..3s+3) ++ [12+3s..12+3s+3)
+    order = interleaved_layer_order(24, 4, 2)
+    assert order[:6] == [0, 1, 2, 12, 13, 14]       # device 0
+    assert order[6:12] == [3, 4, 5, 15, 16, 17]     # device 1
+    assert sorted(order) == list(range(24))
+    # V=1 is the identity (GPipe stacking order)
+    assert interleaved_layer_order(24, 4, 1) == list(range(24))
+    with pytest.raises(ValueError, match="divisible"):
+        interleaved_layer_order(24, 4, 5)
+    # bubble math: interleave divides the GPipe bubble by V at equal M
+    assert schedule_ticks(8, 4, 1) == 11
+    assert schedule_ticks(8, 4, 2) == 19  # per-tick work is 1/V
+    gpipe_bubble = 3 / 11
+    inter_bubble = 3 / 19
+    assert abs(inter_bubble - gpipe_bubble / 2) < 0.03
+
+
+def test_pp_interleaved_rejects_ragged_groups(encoder_setup):
+    """interleave > 1 needs microbatches divisible by stages (the grouped
+    order is what makes the ring wraparound arrive exactly on time)."""
+    enc, variables, audio, lens, *_ = encoder_setup
+    mesh = _pipe_mesh(2)
+    with pytest.raises(ValueError, match="divisible by stages"):
+        with mesh:
+            pipelined_encoder_apply(
+                enc, variables, audio, lens, mesh,
+                num_microbatches=1, interleave=2,  # M=1 < S=2
+            )
 
 
 def test_stack_roundtrip(encoder_setup):
