@@ -26,9 +26,11 @@ import jax
 import numpy as np
 from flax import serialization
 
+from aptai_tpu.utils.trees import fetch_pytree
+
 
 def _to_host(tree):
-    return jax.tree.map(lambda x: np.asarray(x), tree)
+    return fetch_pytree(tree)
 
 
 def save_pytree(path, tree) -> None:
@@ -89,13 +91,30 @@ class CheckpointManager:
         opt_state=None,
         step: int = 0,
         model_cfg: Optional[Dict] = None,
+        save_last: bool = True,
     ) -> bool:
         """Save last (+ per-epoch), and best when the target improves.
-        Returns True if this epoch became the new best."""
+        Returns True if this epoch became the new best.
+
+        ``params``/``opt_state`` may be DEVICE trees: they are fetched to
+        host (pipelined, :func:`~aptai_tpu.utils.trees.fetch_pytree`) only
+        when this epoch actually writes a checkpoint.  ``save_last=False``
+        skips the last-checkpoint write for this epoch (``--ckpt_every``
+        cadence) — on a remote-tunnel device the every-epoch fetch of
+        params + Adam moments is minutes of wall clock, so non-improving
+        epochs should not pay it.  An improving epoch always writes last
+        too, keeping ``train_meta.json`` coherent with the newest
+        on-disk params for resume.
+        """
         value = float(metrics[self.target_metric])
         improved = self.is_improvement(value)
         if improved:
             self.best_value = value
+        save_last = save_last or improved
+        if improved or self.save_all_epochs or save_last:
+            params = fetch_pytree(params)
+
+        if improved:
             save_pytree(self.best_dir / "params.msgpack", params)
             if model_cfg is not None:
                 save_json(self.best_dir / "model_cfg.json", model_cfg)
@@ -104,17 +123,19 @@ class CheckpointManager:
             save_pytree(self.all_dir / f"e{epoch:04d}" / "params.msgpack",
                         params)
 
-        save_pytree(self.last_dir / "params.msgpack", params)
-        if opt_state is not None:
-            save_pytree(self.last_dir / "opt_state.msgpack", opt_state)
-        save_json(self.last_dir / "train_meta.json", {
-            "epoch": epoch,
-            "step": int(step),
-            "best_value": self.best_value,
-            "metrics": {k: float(v) for k, v in metrics.items()},
-        })
-        if model_cfg is not None:
-            save_json(self.last_dir / "model_cfg.json", model_cfg)
+        if save_last:
+            save_pytree(self.last_dir / "params.msgpack", params)
+            if opt_state is not None:
+                save_pytree(self.last_dir / "opt_state.msgpack",
+                            fetch_pytree(opt_state))
+            save_json(self.last_dir / "train_meta.json", {
+                "epoch": epoch,
+                "step": int(step),
+                "best_value": self.best_value,
+                "metrics": {k: float(v) for k, v in metrics.items()},
+            })
+            if model_cfg is not None:
+                save_json(self.last_dir / "model_cfg.json", model_cfg)
         return improved
 
     def restore_last(self, params_example, opt_state_example=None):

@@ -38,6 +38,10 @@ class TrainConfig:
     adam_epsilon: float = 1e-8
     adam_weight_decay: float = 0.0
     save_all_epochs: bool = False
+    # last-checkpoint cadence (epochs); improving epochs always write.
+    # >1 skips the params+moments device→host fetch on quiet epochs —
+    # minutes of wall clock per epoch over a remote-tunnel device.
+    ckpt_every: int = 1
     target_metric: str = "mean_val_per"
     target_metric_bigger_better: bool = False
     seed: int = 0

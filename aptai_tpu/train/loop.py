@@ -11,7 +11,9 @@ fetch costs ~30 ms RTT):
     ``bench.py``);
   * the persistent compilation cache is enabled before the first jit;
   * validation runs on the *device* params (no host round-trip of ~1.2 GB
-    of weights per epoch); the host copy is made once for checkpointing;
+    of weights per epoch); the checkpoint manager fetches weights/moments
+    (pipelined) ONLY on epochs that write — ``--ckpt_every`` sets the
+    last-checkpoint cadence, improving epochs always write;
   * ``detect_anomaly`` opts back into the per-step sync — that's its
     documented cost (the analog of the reference's always-on
     torch.autograd.set_detect_anomaly, train_aptai.py:405).
@@ -31,6 +33,7 @@ from aptai_tpu.train.checkpoints import CheckpointManager
 from aptai_tpu.train.harness import Engine, create_train_state, make_engine
 from aptai_tpu.train.schedule import epoch_learning_rate
 from aptai_tpu.utils.jax_setup import enable_compilation_cache
+from aptai_tpu.utils.trees import fetch_pytree
 
 
 def fit(
@@ -155,19 +158,38 @@ def fit(
                 )
 
             # validate on the device-resident params (no host round-trip)
+            t_val = time.perf_counter()
             val_logs = validate_fn(state.params, epoch)
-            params_host = jax.tree.map(np.asarray, state.params)
-            improved = ckpt.update(
-                epoch, val_logs, params_host,
-                opt_state=jax.tree.map(np.asarray, state.opt_state),
-                step=int(state.step), model_cfg=model_cfg,
-            )
+            val_time = time.perf_counter() - t_val
+            # device trees go to the manager as-is: it fetches (pipelined)
+            # only on epochs that actually write — on a remote-tunnel
+            # device the every-epoch params+moments fetch is minutes
+            t_ckpt = time.perf_counter()
+            ckpt_every = int(getattr(cfg, "ckpt_every", 1))
+            final_epoch = epoch == cfg.num_epochs - 1
+            if ckpt_every == 0 and not final_epoch:
+                # 0 → checkpoint only at the end (no mid-run model
+                # selection: with the reference's ties-improve contract a
+                # plateaued metric re-writes best EVERY epoch, and each
+                # write is a full params fetch)
+                improved = False
+            else:
+                improved = ckpt.update(
+                    epoch, val_logs, state.params,
+                    opt_state=state.opt_state,
+                    step=int(state.step), model_cfg=model_cfg,
+                    save_last=(final_epoch or ckpt_every > 0
+                               and epoch % ckpt_every == ckpt_every - 1),
+                )
+            ckpt_time = time.perf_counter() - t_ckpt
             entry = {
                 "epoch": epoch,
                 "lr": lr,
                 "mean_train_loss": float(np.mean(losses)) if losses.size
                 else None,
                 "train_seconds": train_time,
+                "val_seconds": val_time,
+                "ckpt_seconds": ckpt_time,
                 "train_steps": int(losses.size),
                 "improved": improved,
                 **val_logs,
@@ -183,4 +205,4 @@ def fit(
                 + (" *best*" if improved else "")
             )
 
-    return jax.tree.map(np.asarray, state.params), history
+    return fetch_pytree(state.params), history

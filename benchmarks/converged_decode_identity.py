@@ -47,6 +47,10 @@ def main():
     ap.add_argument("--train_utts", type=int, default=96)
     ap.add_argument("--eval_utts", type=int, default=16)
     ap.add_argument("--backbone", choices=("full", "tiny"), default="full")
+    # 0 = checkpoint only at the end: with ties-improve best selection a
+    # plateaued val PER re-writes best EVERY epoch, and over the tunnel
+    # each write is a ~4 min params+moments fetch
+    ap.add_argument("--ckpt_every", type=int, default=0)
     ap.add_argument("--work", default="/tmp/decode_identity")
     args = ap.parse_args()
 
@@ -65,12 +69,12 @@ def main():
     from aptai_tpu.data.vocab import load_vocab
     from aptai_tpu.models import tiny_config
     from aptai_tpu.train import train_pr
-    from aptai_tpu.train.builders import build_pr_model, make_loaders
+    from aptai_tpu.train.builders import build_pr_model
     from aptai_tpu.train.checkpoints import CheckpointManager
     from aptai_tpu.train.config import PRConfig
     from aptai_tpu.train.evaluate import decode_best, decode_greedy
     from aptai_tpu.train.metrics import PERAccumulator
-    from aptai_tpu.train.train_pr import make_eval_forward
+    from aptai_tpu.train.train_pr import make_eval_forward, make_loaders
 
     work = Path(args.work)
     if work.exists():
@@ -90,6 +94,7 @@ def main():
         num_static_epochs=args.static, batch_size=args.batch_size,
         samples_per_epoch=args.samples_per_epoch,
         learning_rate=args.lr, mesh_data=1, val_decode="greedy",
+        ckpt_every=args.ckpt_every,
     ).finalize("phoneme_recognizer")
     history, results = train_pr.run(pr_cfg, tiny_backbone=tiny)
 
