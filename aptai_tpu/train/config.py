@@ -38,6 +38,11 @@ class TrainConfig:
     adam_epsilon: float = 1e-8
     adam_weight_decay: float = 0.0
     save_all_epochs: bool = False
+    # gradient accumulation: split each batch into k equal microbatches,
+    # accumulate grads in one lax.scan, apply ONE optimizer update —
+    # effective-batch training whose activations exceed HBM (the
+    # reference has no equivalent; its batch is what fits one GPU).
+    grad_accum: int = 1
     # last-checkpoint cadence (epochs); improving epochs always write.
     # >1 skips the params+moments device→host fetch on quiet epochs —
     # minutes of wall clock per epoch over a remote-tunnel device.

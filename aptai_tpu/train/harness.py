@@ -92,25 +92,83 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     mesh: Optional[Mesh] = None,
     rng_names: tuple = ("dropout", "specaugment"),
+    grad_accum: int = 1,
 ):
     """Build the jitted, mesh-sharded SGD step.
 
     Returns ``step_fn(state, batch, rng, lr) -> (state, metrics)`` where
     ``metrics`` is the aux dict from ``loss_fn`` plus ``loss``.
+
+    ``grad_accum=k`` splits each batch into ``k`` equal microbatches and
+    runs them through a ``lax.scan`` that accumulates gradients before the
+    single optimizer update — the TPU-native way to train at an effective
+    batch the activations of which don't fit HBM (activation memory is one
+    microbatch; the scan is one compiled program, no Python re-dispatch).
+    All loss adapters reduce by per-batch mean, so the mean of ``k`` equal
+    microbatch gradients IS the full-batch gradient: ``k=1`` and ``k>1``
+    agree to numerical noise on deterministic losses
+    (tests/test_parallel.py).  Microbatches are sliced along the leading
+    axis with static offsets, so a data-parallel batch layout survives
+    as long as ``batch/k`` still divides over the data axis.  Each
+    microbatch folds its index into the step rng: dropout/SpecAugment
+    masks stay independent across microbatches.
     """
 
-    def step_fn(state: TrainState, batch, rng, lr):
-        rngs = dict(zip(rng_names, jax.random.split(
-            jax.random.fold_in(rng, state.step), len(rng_names)
-        )))
-
-        def scalar_loss(params):
-            loss, aux = loss_fn(params, batch, rngs)
-            return loss, aux
+    def _grads_one(params, batch, rngs):
+        def scalar_loss(p):
+            return loss_fn(p, batch, rngs)
 
         (loss, aux), grads = jax.value_and_grad(scalar_loss, has_aux=True)(
-            state.params
-        )
+            params)
+        return loss, aux, grads
+
+    def step_fn(state: TrainState, batch, rng, lr):
+        base = jax.random.fold_in(rng, state.step)
+
+        if grad_accum == 1:
+            rngs = dict(zip(rng_names,
+                            jax.random.split(base, len(rng_names))))
+            loss, aux, grads = _grads_one(state.params, batch, rngs)
+        else:
+            b = jax.tree.leaves(batch)[0].shape[0]
+            if b % grad_accum:
+                raise ValueError(
+                    f"batch {b} not divisible into {grad_accum} "
+                    "gradient-accumulation microbatches")
+            mb = b // grad_accum
+
+            def micro(carry, i):
+                acc_g, acc_l, acc_aux = carry
+                sub = jax.tree.map(
+                    lambda x: jax.lax.dynamic_slice_in_dim(
+                        x, i * mb, mb, 0), batch)
+                r = jax.random.fold_in(base, i)
+                rngs = dict(zip(rng_names,
+                                jax.random.split(r, len(rng_names))))
+                loss, aux, grads = _grads_one(state.params, sub, rngs)
+                return (jax.tree.map(jnp.add, acc_g, grads),
+                        acc_l + loss,
+                        jax.tree.map(jnp.add, acc_aux, aux)), None
+
+            zeros_g = jax.tree.map(jnp.zeros_like, state.params)
+            # probe aux structure with microbatch 0's rngs (abstract eval
+            # only — cost-free under jit)
+            aux0 = jax.eval_shape(
+                lambda p: loss_fn(p, jax.tree.map(
+                    lambda x: x[:mb], batch), dict(zip(
+                        rng_names,
+                        jax.random.split(base, len(rng_names))))),
+                state.params)[1]
+            zeros_aux = jax.tree.map(
+                lambda s: jnp.zeros(s.shape, s.dtype), aux0)
+            (grads, loss, aux), _ = jax.lax.scan(
+                micro, (zeros_g, jnp.zeros((), jnp.float32), zeros_aux),
+                jnp.arange(grad_accum))
+            inv = 1.0 / grad_accum
+            grads = jax.tree.map(lambda g: g * inv, grads)
+            loss = loss * inv
+            aux = jax.tree.map(lambda a: a * inv, aux)
+
         updates, opt_state = optimizer.update(
             grads, state.opt_state, state.params
         )
@@ -162,4 +220,6 @@ def make_engine(
         b1=cfg.adam_beta1, b2=cfg.adam_beta2, eps=cfg.adam_epsilon,
         weight_decay=cfg.adam_weight_decay, frozen_prefixes=frozen_prefixes,
     )
-    return Engine(optimizer, make_train_step(loss_fn, optimizer, mesh), mesh)
+    step = make_train_step(loss_fn, optimizer, mesh,
+                           grad_accum=getattr(cfg, "grad_accum", 1))
+    return Engine(optimizer, step, mesh)

@@ -254,6 +254,103 @@ def test_sequence_parallel_matches_unconstrained():
         np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-6)
 
 
+def _deterministic_tiny_config(**overrides):
+    """tiny_config with every stochastic layer off, so grad-accum splits
+    of one batch are numerically comparable to the full-batch step."""
+    return tiny_config(
+        apply_spec_augment=False, hidden_dropout=0.0,
+        activation_dropout=0.0, attention_dropout=0.0,
+        feat_proj_dropout=0.0, final_dropout=0.0, **overrides,
+    )
+
+
+def test_grad_accum_matches_full_batch():
+    """grad_accum=k reproduces the k=1 step: every loss adapter reduces by
+    per-batch mean, so the mean of k equal-size microbatch gradients IS the
+    full-batch gradient (identity transform isolates the gradient math from
+    Adam's noise amplification, as in test_dp_matches_single_device_step)."""
+    import optax
+
+    model = W2V2PR(_deterministic_tiny_config())
+    batch = _pr_batch(8)
+    variables = model.init(
+        jax.random.PRNGKey(0), batch["audio"], batch["audio_lengths"],
+        batch["phoneme_labels"],
+    )
+    optimizer = optax.identity()
+
+    def run(k):
+        params = jax.tree.map(lambda x: jnp.array(np.asarray(x)),
+                              variables["params"])
+        state = create_train_state(params, optimizer)
+        step = make_train_step(_pr_loss_fn(model), optimizer, grad_accum=k)
+        state, m = step(state, batch, jax.random.PRNGKey(1),
+                        jnp.float32(1e-3))
+        return float(m["loss"]), jax.tree.map(np.asarray, state.params)
+
+    loss_1, params_1 = run(1)
+    loss_4, params_4 = run(4)
+    assert abs(loss_1 - loss_4) < 1e-5, (loss_1, loss_4)
+    for a, b in zip(jax.tree.leaves(params_1), jax.tree.leaves(params_4)):
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-6)
+
+
+def test_grad_accum_composes_with_data_parallel():
+    """Microbatch slicing happens under jit on the mesh-sharded batch: the
+    DP-4 grad_accum=2 step must match the single-device k=1 step (each
+    microbatch of 4 still divides over the 4-way data axis)."""
+    import optax
+
+    model = W2V2PR(_deterministic_tiny_config())
+    batch = _pr_batch(8)
+    variables = model.init(
+        jax.random.PRNGKey(0), batch["audio"], batch["audio_lengths"],
+        batch["phoneme_labels"],
+    )
+    optimizer = optax.identity()
+
+    def run(k, mesh):
+        params = jax.tree.map(lambda x: jnp.array(np.asarray(x)),
+                              variables["params"])
+        state = create_train_state(params, optimizer)
+        if mesh is None:
+            step = make_train_step(_pr_loss_fn(model), optimizer,
+                                   grad_accum=k)
+            state, m = step(state, batch, jax.random.PRNGKey(1),
+                            jnp.float32(1e-3))
+        else:
+            with mesh:
+                state = shard_tree(mesh, state)
+                sbatch = shard_batch(mesh, batch)
+                step = make_train_step(_pr_loss_fn(model), optimizer, mesh,
+                                       grad_accum=k)
+                state, m = step(state, sbatch, jax.random.PRNGKey(1),
+                                jnp.float32(1e-3))
+        return float(m["loss"]), jax.tree.map(np.asarray, state.params)
+
+    loss_acc, params_acc = run(2, make_mesh(data=4, model=1))
+    loss_ref, params_ref = run(1, None)
+    assert abs(loss_acc - loss_ref) < 1e-5, (loss_acc, loss_ref)
+    for a, b in zip(jax.tree.leaves(params_acc), jax.tree.leaves(params_ref)):
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-6)
+
+
+def test_grad_accum_rejects_non_divisible_batch():
+    import optax
+
+    model = W2V2PR(_deterministic_tiny_config())
+    batch = _pr_batch(6)
+    variables = model.init(
+        jax.random.PRNGKey(0), batch["audio"], batch["audio_lengths"],
+        batch["phoneme_labels"],
+    )
+    optimizer = optax.identity()
+    state = create_train_state(variables["params"], optimizer)
+    step = make_train_step(_pr_loss_fn(model), optimizer, grad_accum=4)
+    with pytest.raises(ValueError, match="not divisible"):
+        step(state, batch, jax.random.PRNGKey(1), jnp.float32(1e-3))
+
+
 def test_lr_schedule_contract():
     # reference train_phoneme_recognizer.py:280-288 docstring example
     vals = [lr_lambda(e, 10, 30, 0.96) for e in range(45)]
