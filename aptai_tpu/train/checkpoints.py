@@ -138,6 +138,31 @@ class CheckpointManager:
                 save_json(self.last_dir / "model_cfg.json", model_cfg)
         return improved
 
+    def save_interrupt(self, resume_epoch: int, params, opt_state=None,
+                       step: int = 0, model_cfg: Optional[Dict] = None):
+        """Preemption write (SIGTERM/SIGUSR1 → graceful stop): a
+        ``last-model-ckpt`` whose meta resumes at ``resume_epoch``.
+
+        A mid-epoch interrupt passes the interrupted epoch itself — resume
+        REPEATS it, at-least-once semantics: the partial epoch's optimizer
+        progress is kept (params + moments + step counter are the
+        post-interrupt values), only the epoch-granular bookkeeping rolls
+        back.  An epoch-boundary interrupt passes ``epoch + 1``."""
+        params = fetch_pytree(params)
+        save_pytree(self.last_dir / "params.msgpack", params)
+        if opt_state is not None:
+            save_pytree(self.last_dir / "opt_state.msgpack",
+                        fetch_pytree(opt_state))
+        save_json(self.last_dir / "train_meta.json", {
+            "epoch": resume_epoch - 1,
+            "step": int(step),
+            "best_value": self.best_value,
+            "metrics": {},
+            "preempted": True,
+        })
+        if model_cfg is not None:
+            save_json(self.last_dir / "model_cfg.json", model_cfg)
+
     def restore_last(self, params_example, opt_state_example=None):
         """Resume support (the reference leaves this half-wired for the
         APTAI trainers — SURVEY.md §5.3; fully implemented here)."""

@@ -47,6 +47,11 @@ class TrainConfig:
     # >1 skips the params+moments device→host fetch on quiet epochs —
     # minutes of wall clock per epoch over a remote-tunnel device.
     ckpt_every: int = 1
+    # graceful preemption: SIGTERM/SIGUSR1 (and a first Ctrl-C) finish the
+    # in-flight step, write a resumable last-checkpoint (params + Adam
+    # moments + step), and exit 0; rerun with --exp_dir to continue.  The
+    # reference loses everything since its last best-metric write.
+    graceful_preemption: bool = True
     target_metric: str = "mean_val_per"
     target_metric_bigger_better: bool = False
     seed: int = 0

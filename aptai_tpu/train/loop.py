@@ -21,6 +21,8 @@ fetch costs ~30 ms RTT):
 
 from __future__ import annotations
 
+import signal
+import threading
 import time
 from typing import Callable, Dict, Optional
 
@@ -34,6 +36,65 @@ from aptai_tpu.train.harness import Engine, create_train_state, make_engine
 from aptai_tpu.train.schedule import epoch_learning_rate
 from aptai_tpu.utils.jax_setup import enable_compilation_cache
 from aptai_tpu.utils.trees import fetch_pytree
+
+
+class Preempted(SystemExit):
+    """Graceful-preemption exit (code 0): the resume checkpoint is on disk.
+
+    A ``SystemExit`` subclass so it unwinds LOSO fold loops and trainer
+    CLIs without each needing a handler; catchable by name in tests and
+    schedulers that want to distinguish preemption from completion."""
+
+    def __init__(self):
+        super().__init__(0)
+
+
+class _PreemptionGuard:
+    """Scoped SIGTERM/SIGUSR1 (+ graceful-first SIGINT) handling for fit().
+
+    Cloud TPU preemption delivers SIGTERM with a short grace window; the
+    reference has no handling at all (a preempted run loses everything
+    since its last best-metric write).  Here the first signal only sets a
+    flag — fit() checks it at step and epoch boundaries, finishes the
+    in-flight device work, writes a resumable last-checkpoint and raises
+    :class:`Preempted`.  A second SIGINT restores die-now Ctrl-C.
+    Handlers install only on the main thread (signal.signal's own
+    constraint) and are restored on exit, so nested/LOSO fit() calls and
+    test harnesses stay clean."""
+
+    SIGNALS = ("SIGTERM", "SIGUSR1", "SIGINT")
+
+    def __init__(self, log_fn, enabled: bool = True):
+        self.log_fn = log_fn
+        self.enabled = enabled
+        self.triggered: Optional[int] = None
+        self._prev = {}
+
+    def _handler(self, signum, frame):
+        if signum == signal.SIGINT and self.triggered is not None:
+            raise KeyboardInterrupt
+        self.triggered = signum
+        self.log_fn(
+            f"received {signal.Signals(signum).name}: finishing the "
+            "in-flight step, writing a resume checkpoint, then exiting"
+            + (" (second Ctrl-C kills immediately)"
+               if signum == signal.SIGINT else "")
+        )
+
+    def __enter__(self):
+        if self.enabled and (
+            threading.current_thread() is threading.main_thread()
+        ):
+            for name in self.SIGNALS:
+                sig = getattr(signal, name, None)
+                if sig is not None:
+                    self._prev[sig] = signal.signal(sig, self._handler)
+        return self
+
+    def __exit__(self, *exc):
+        for sig, prev in self._prev.items():
+            signal.signal(sig, prev)
+        return False
 
 
 def fit(
@@ -86,7 +147,9 @@ def fit(
     subset_rng = np.random.default_rng(cfg.seed)
     history = []
 
-    with mesh:
+    guard = _PreemptionGuard(
+        log_fn, enabled=getattr(cfg, "graceful_preemption", True))
+    with mesh, guard:
         state = shard_tree(mesh, state, fsdp=getattr(cfg, "fsdp", False))
 
         for epoch in range(start_epoch, cfg.num_epochs):
@@ -139,7 +202,9 @@ def fit(
                 sb = shard_batch(mesh, b)
                 if staged is not None:
                     _run_one(*staged)
-                    if cfg.laptop and len(step_losses) >= 1:
+                    if guard.triggered is not None or (
+                        cfg.laptop and len(step_losses) >= 1
+                    ):
                         stop = True
                         break
                 staged = (bi, sb)
@@ -157,6 +222,19 @@ def fit(
                     "per step, --debug_nans to trace the origin)"
                 )
 
+            if guard.triggered is not None:
+                # mid-epoch preemption: skip validation (the grace window
+                # is short), persist params + moments + step, repeat this
+                # epoch on resume
+                ckpt.save_interrupt(epoch, state.params,
+                                    opt_state=state.opt_state,
+                                    step=int(state.step),
+                                    model_cfg=model_cfg)
+                log_fn(f"preempted during epoch {epoch + 1} after "
+                       f"{losses.size} steps: resume checkpoint written; "
+                       f"rerun with --exp_dir {ckpt.exp_dir} to continue")
+                raise Preempted()
+
             # validate on the device-resident params (no host round-trip)
             t_val = time.perf_counter()
             val_logs = validate_fn(state.params, epoch)
@@ -167,19 +245,25 @@ def fit(
             t_ckpt = time.perf_counter()
             ckpt_every = int(getattr(cfg, "ckpt_every", 1))
             final_epoch = epoch == cfg.num_epochs - 1
+            want_last = (final_epoch
+                         or ckpt_every > 0
+                         and epoch % ckpt_every == ckpt_every - 1
+                         or guard.triggered is not None)
             if ckpt_every == 0 and not final_epoch:
                 # 0 → checkpoint only at the end (no mid-run model
                 # selection: with the reference's ties-improve contract a
                 # plateaued metric re-writes best EVERY epoch, and each
-                # write is a full params fetch)
+                # write is a full params fetch).  A preemption in this mode
+                # writes ONLY the resume checkpoint (save_interrupt below),
+                # never best.
                 improved = False
+                want_last = False
             else:
                 improved = ckpt.update(
                     epoch, val_logs, state.params,
                     opt_state=state.opt_state,
                     step=int(state.step), model_cfg=model_cfg,
-                    save_last=(final_epoch or ckpt_every > 0
-                               and epoch % ckpt_every == ckpt_every - 1),
+                    save_last=want_last,
                 )
             ckpt_time = time.perf_counter() - t_ckpt
             entry = {
@@ -204,5 +288,18 @@ def fit(
                            if isinstance(v, float))
                 + (" *best*" if improved else "")
             )
+            if guard.triggered is not None and not final_epoch:
+                # epoch-boundary preemption (signal arrived during
+                # validation/checkpointing): epoch is complete, resume at
+                # the next one
+                if not (improved or want_last):
+                    ckpt.save_interrupt(epoch + 1, state.params,
+                                        opt_state=state.opt_state,
+                                        step=int(state.step),
+                                        model_cfg=model_cfg)
+                log_fn(f"preempted after epoch {epoch + 1}: resume "
+                       f"checkpoint written; rerun with --exp_dir "
+                       f"{ckpt.exp_dir} to continue")
+                raise Preempted()
 
     return fetch_pytree(state.params), history

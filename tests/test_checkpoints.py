@@ -43,6 +43,107 @@ def test_best_selection_bigger_is_better(tmp_path):
     assert ckpt.update(2, {"acc": 0.2}, {"w": np.asarray([3.0])})
 
 
+class _ToyLoader:
+    """3 batches/epoch of a linear-regression toy; optionally delivers a
+    real SIGUSR1 to this process at (epoch, batch) to exercise the
+    preemption guard exactly where a cloud preemption would land."""
+
+    def __init__(self, sig_at=None):
+        self.sig_at = sig_at
+        self.calls = 0
+        rng = np.random.default_rng(0)
+        self.batches = [
+            {"x": jnp.asarray(rng.standard_normal((8, 8), np.float32)),
+             "y": jnp.asarray(rng.standard_normal((8, 8), np.float32))}
+            for _ in range(3)
+        ]
+
+    def __len__(self):
+        return 3
+
+    def __iter__(self):
+        import os
+        import signal
+
+        epoch = self.calls
+        self.calls += 1
+        for i, b in enumerate(self.batches):
+            if self.sig_at == (epoch, i):
+                os.kill(os.getpid(), signal.SIGUSR1)
+            yield dict(b)
+
+
+def _toy_loss_fn(params, batch, rngs):
+    pred = batch["x"] @ params["w"]
+    return jnp.mean((pred - batch["y"]) ** 2), {}
+
+
+def _toy_cfg(**overrides):
+    from aptai_tpu.train.config import TrainConfig
+
+    base = dict(num_epochs=3, batch_size=8, learning_rate=1e-2,
+                mesh_data=1, target_metric="val_loss", seed=0)
+    base.update(overrides)
+    return TrainConfig(**base)
+
+
+def test_preemption_mid_epoch_writes_resume_checkpoint(tmp_path):
+    """SIGUSR1 mid-epoch → the in-flight step finishes, a resumable
+    last-checkpoint lands on disk, fit raises Preempted (exit 0), and a
+    resumed run repeats the interrupted epoch then completes."""
+    from aptai_tpu.train.checkpoints import load_json
+    from aptai_tpu.train.loop import Preempted, fit
+
+    params = {"w": jnp.zeros((8, 8), jnp.float32)}
+    ckpt = CheckpointManager(tmp_path, "val_loss")
+    cfg = _toy_cfg()
+    with pytest.raises(Preempted) as exc:
+        fit(cfg, _toy_loss_fn, params, _ToyLoader(sig_at=(1, 1)),
+            lambda p, e: {"val_loss": 1.0}, ckpt, log_fn=lambda m: None)
+    assert exc.value.code == 0
+    meta = load_json(tmp_path / "last-model-ckpt" / "train_meta.json")
+    assert meta["preempted"] is True
+    assert meta["epoch"] == 0          # resume repeats epoch 1
+    assert meta["step"] == 4           # 3 epoch-0 steps + 1 before the stop
+
+    cfg2 = _toy_cfg(train_from_ckpt=True)
+    ckpt2 = CheckpointManager(tmp_path, "val_loss")
+    _, history = fit(cfg2, _toy_loss_fn, params, _ToyLoader(),
+                     lambda p, e: {"val_loss": 1.0}, ckpt2,
+                     log_fn=lambda m: None)
+    assert [e["epoch"] for e in history] == [1, 2]
+
+
+def test_preemption_epoch_boundary_with_ckpt_every_zero(tmp_path):
+    """A signal landing during validation, in ckpt_every=0 mode (which
+    otherwise never writes mid-run): the completed epoch is preserved via
+    save_interrupt, best-model selection stays untouched."""
+    from aptai_tpu.train.checkpoints import load_json
+    from aptai_tpu.train.loop import Preempted, fit
+
+    import os
+    import signal
+
+    params = {"w": jnp.zeros((8, 8), jnp.float32)}
+    ckpt = CheckpointManager(tmp_path, "val_loss")
+    cfg = _toy_cfg(ckpt_every=0)
+
+    def validate(p, epoch):
+        if epoch == 0:
+            os.kill(os.getpid(), signal.SIGUSR1)
+        return {"val_loss": 1.0}
+
+    with pytest.raises(Preempted):
+        fit(cfg, _toy_loss_fn, params, _ToyLoader(), validate, ckpt,
+            log_fn=lambda m: None)
+    meta = load_json(tmp_path / "last-model-ckpt" / "train_meta.json")
+    assert meta["preempted"] is True
+    assert meta["epoch"] == 0          # epoch 0 complete, resume at 1
+    assert meta["step"] == 3
+    # ckpt_every=0 contract holds: no best checkpoint was selected
+    assert not (tmp_path / "best-model-ckpt").exists()
+
+
 def test_trainer_resume(tmp_path):
     """Interrupt a PR training run after epoch 0 and resume into epoch 1:
     the resumed run must not re-run epoch 0 and must keep the optimizer
