@@ -10,6 +10,7 @@ from aptai_tpu.infer.api import (
 from aptai_tpu.infer.streaming import (StreamingAPTAI, StreamingForceAPTAI,
                                        StreamingPredictor)
 from aptai_tpu.infer.server import MicroBatcher
+from aptai_tpu.infer.serve import ServingApp, build_app, make_server
 from aptai_tpu.infer.export import (ServingBundle, load_serving_bundle,
                                     save_serving_bundle)
 from aptai_tpu.infer.loader import load_model, load_predictor
@@ -24,6 +25,9 @@ __all__ = [
     "StreamingForceAPTAI",
     "StreamingPredictor",
     "MicroBatcher",
+    "ServingApp",
+    "build_app",
+    "make_server",
     "fetch_outputs",
     "ServingBundle",
     "load_serving_bundle",

@@ -1,0 +1,374 @@
+"""HTTP serving front end over the micro-batching engine (stdlib-only).
+
+``aptai-serve --checkpoint <trainer-run-dir> --port 8077`` loads any
+checkpoint (``infer/loader.py`` — the model_cfg.json makes runs
+self-describing), wraps the family's predictor in
+:class:`~aptai_tpu.infer.server.MicroBatcher` (requests coalesce into ONE
+static-shape device batch — the compile-per-shape and MXU-occupancy
+lessons of benchmarks/PERF.md), and serves:
+
+  * ``GET  /healthz``     — liveness + model/service metadata
+  * ``POST /v1/predict``  — one utterance in, JSON outputs out
+
+Request body, either:
+
+  * ``application/octet-stream``: little-endian samples;
+    ``X-Audio-Encoding: float32`` (default) ``| int16 | uint8_mulaw``
+    (G.711 — quarter the bytes of float32, the round-3 transfer codec);
+    optional ``X-Sample-Rate`` must be 16000 (the family's rate — the
+    reference corpora are all resampled to 16 kHz).
+  * ``application/json``: ``{"audio": [floats in -1..1]}``.
+
+``?fields=tvs_pred,phn_fc_pred`` filters the response to a subset of the
+served outputs.  Responses are JSON: ``{"frames": N, ...}`` with per-TV
+traces as ``{"TV name": [floats]}`` (the reference's per-TV dict shape,
+reference models/aptai.py:152-172) and phoneme ids (+ IPA when the
+checkpoint carries a vocab).
+
+The reference has no serving surface at all — its inference is eager
+batch-1 module calls (reference models/aptai.py:125-179,
+models/w2v2_pr.py:191-235); this transport + the batching engine is the
+new first-class serving scope (SURVEY.md §5.7).  The transport is
+intentionally ``http.server`` from the stdlib: zero new dependencies, and
+the engine underneath — not request parsing — is the throughput path.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import signal
+import sys
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, Optional, Sequence, Tuple
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+SAMPLE_RATE = 16_000
+
+# outputs each family serves by default (mirrors the batch CLI,
+# infer/__main__.py) — the MicroBatcher jits a forward restricted to
+# exactly these, so unserved heads are dead-code-eliminated
+KIND_FIELDS = {
+    "aptai": ("tvs_pred", "phn_fc_pred"),
+    "force_aptai": ("tvs_pred", "pred_frame_phns", "pred_ctc_phn_seq",
+                    "phn_seq_lengths"),
+    "w2v2_pr": ("phoneme_logits",),
+}
+
+WIRE_ENCODINGS = ("float32", "int16", "uint8_mulaw")
+
+
+def _mulaw_expand_host(q: np.ndarray) -> np.ndarray:
+    """Host-side inverse of :func:`aptai_tpu.infer.api.quantize_mulaw`
+    (same continuous G.711 form; the device twin is ``dequantize_mulaw``)."""
+    y = (q.astype(np.float32) - 128.0) * np.float32(1.0 / 127.0)
+    mu = np.float32(255.0)
+    return np.sign(y) * (np.expm1(np.abs(y) * np.log1p(mu)) / mu)
+
+
+def decode_wire_audio(body: bytes, content_type: str,
+                      encoding: Optional[str],
+                      sample_rate: Optional[str],
+                      max_seconds: float) -> np.ndarray:
+    """Request body → float32 waveform; raises ValueError on bad input
+    (mapped to HTTP 400 by the handler)."""
+    if sample_rate is not None and int(sample_rate) != SAMPLE_RATE:
+        raise ValueError(
+            f"X-Sample-Rate must be {SAMPLE_RATE} (got {sample_rate}); "
+            "resample client-side")
+    if (content_type or "").split(";")[0].strip() == "application/json":
+        try:
+            obj = json.loads(body)
+            audio = np.asarray(obj["audio"], np.float32)
+        except (json.JSONDecodeError, KeyError, TypeError) as e:
+            raise ValueError(f"bad JSON body: {e}") from None
+        if audio.ndim != 1:
+            raise ValueError("'audio' must be a flat list of samples")
+    else:
+        enc = encoding or "float32"
+        if enc == "float32":
+            audio = np.frombuffer(body, "<f4").astype(np.float32)
+        elif enc == "int16":
+            audio = (np.frombuffer(body, "<i2").astype(np.float32)
+                     * np.float32(1.0 / 32768.0))
+        elif enc == "uint8_mulaw":
+            audio = _mulaw_expand_host(np.frombuffer(body, np.uint8))
+        else:
+            raise ValueError(
+                f"unknown X-Audio-Encoding {enc!r}; expected one of "
+                f"{list(WIRE_ENCODINGS)}")
+    if audio.size == 0:
+        raise ValueError("empty audio")
+    if audio.size > max_seconds * SAMPLE_RATE:
+        raise ValueError(
+            f"audio longer than the serving cap ({max_seconds:.0f} s); "
+            "use the streaming API (infer/streaming.py) for long files")
+    return audio
+
+
+class ServingApp:
+    """Transport-independent request logic: bytes in, (status, JSON) out.
+
+    Separate from the socket layer so the protocol is testable without
+    ports and reusable under another transport."""
+
+    def __init__(self, batcher, kind: str, vocab: Optional[Dict] = None,
+                 request_timeout_s: float = 60.0, max_seconds: float = 600.0,
+                 meta: Optional[Dict] = None):
+        if kind not in KIND_FIELDS:
+            raise ValueError(f"unknown model kind {kind!r}")
+        self.batcher = batcher
+        self.kind = kind
+        self.vocab = vocab
+        self.request_timeout_s = request_timeout_s
+        self.max_seconds = max_seconds
+        self.meta = dict(meta or {})
+
+    # -- endpoints ----------------------------------------------------------
+
+    def health(self) -> Tuple[int, Dict]:
+        return 200, {
+            "status": "ok",
+            "model": self.kind,
+            "max_batch_size": self.batcher.max_batch_size,
+            "queue_depth": self.batcher._queue.qsize(),
+            "fields": list(self.batcher.fields or ()),
+            **self.meta,
+        }
+
+    def predict(self, body: bytes, content_type: str, headers,
+                query: Dict) -> Tuple[int, Dict]:
+        try:
+            wav = decode_wire_audio(
+                body, content_type,
+                headers.get("X-Audio-Encoding"),
+                headers.get("X-Sample-Rate"),
+                self.max_seconds,
+            )
+        except ValueError as e:
+            return 400, {"error": str(e)}
+
+        from concurrent.futures import TimeoutError as _FutTimeout
+
+        fut = self.batcher.submit(wav)
+        try:
+            item = fut.result(timeout=self.request_timeout_s)
+        except (TimeoutError, _FutTimeout):
+            return 503, {"error":
+                         f"timed out after {self.request_timeout_s:.0f} s "
+                         "(server overloaded?)"}
+        except Exception as e:  # batch-level failure fanned out to futures
+            return 500, {"error": f"{type(e).__name__}: {e}"}
+
+        payload = self._format(item, len(wav))
+        fields = query.get("fields")
+        if fields:
+            requested = [f for part in fields for f in part.split(",") if f]
+            unknown = set(requested) - set(payload)
+            if unknown:
+                return 400, {"error":
+                             f"unknown field(s) {sorted(unknown)}; this "
+                             f"server produces {sorted(payload)}"}
+            payload = {k: payload[k] for k in ("frames", *requested)
+                       if k in payload}
+        return 200, payload
+
+    # -- per-family response shaping ------------------------------------
+
+    def _ipa(self, ids) -> Optional[list]:
+        if not self.vocab:
+            return None
+        from aptai_tpu.data.vocab import ids_to_phonemes
+
+        return ids_to_phonemes(self.vocab, list(ids))
+
+    def _format(self, item: Dict, wav_len: int) -> Dict:
+        """One MicroBatcher item (arrays already cut to the utterance's
+        frame count) → JSON-ready payload, per model family."""
+        from aptai_tpu.infer.api import _log_softmax_host, _tv_dict
+
+        n = int(item["frame_lengths"])
+        out: Dict = {"frames": n}
+        if self.kind == "w2v2_pr":
+            from aptai_tpu.infer.api import _decode_with_times
+
+            logits = np.asarray(item["phoneme_logits"], np.float32)
+            tokens, times = _decode_with_times(_log_softmax_host(logits))
+            ratio = wav_len / max(n, 1) / SAMPLE_RATE
+            out["phn_seq_idx"] = [int(t) for t in tokens]
+            out["phn_seq_dur"] = [float(t * ratio) for t in times]
+            ipa = self._ipa(tokens)
+            if ipa is not None:
+                out["phn_seq_ipa"] = ipa
+            return out
+
+        out["tvs_pred"] = _tv_dict(np.asarray(item["tvs_pred"]))
+        frame_key = ("phn_fc_pred" if self.kind == "aptai"
+                     else "pred_frame_phns")
+        frames = np.asarray(item[frame_key]).tolist()
+        out[frame_key] = frames
+        ipa = self._ipa(frames)
+        if ipa is not None:
+            out[f"{frame_key}_ipa"] = ipa
+        if self.kind == "force_aptai":
+            s = int(item["phn_seq_lengths"])
+            seq = np.asarray(item["pred_ctc_phn_seq"])[:s].tolist()
+            out["pred_ctc_phn_seq"] = seq
+            ipa = self._ipa(seq)
+            if ipa is not None:
+                out["pred_ctc_phn_seq_ipa"] = ipa
+        return out
+
+
+class _Handler(BaseHTTPRequestHandler):
+    app: ServingApp  # bound by make_server
+
+    # keep the request path quiet; errors surface as JSON statuses
+    def log_message(self, *args):  # pragma: no cover
+        pass
+
+    def _send(self, status: int, payload: Dict) -> None:
+        data = json.dumps(payload).encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def do_GET(self):
+        if urlparse(self.path).path == "/healthz":
+            self._send(*self.app.health())
+        else:
+            self._send(404, {"error": "unknown path; GET /healthz or "
+                                      "POST /v1/predict"})
+
+    def do_POST(self):
+        parsed = urlparse(self.path)
+        if parsed.path != "/v1/predict":
+            self._send(404, {"error": "unknown path; POST /v1/predict"})
+            return
+        body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+        status, payload = self.app.predict(
+            body, self.headers.get("Content-Type", ""), self.headers,
+            parse_qs(parsed.query),
+        )
+        self._send(status, payload)
+
+
+def make_server(app: ServingApp, host: str = "127.0.0.1",
+                port: int = 8077) -> ThreadingHTTPServer:
+    """Bind a threaded HTTP server to ``app`` (port 0 picks a free port;
+    the bound port is ``server.server_address[1]``)."""
+    handler = type("BoundHandler", (_Handler,), {"app": app})
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def build_app(checkpoint: str, fields: Optional[Sequence[str]] = None,
+              max_batch_size: int = 16, max_wait_ms: float = 10.0,
+              transfer_dtype: str = "float32", dtype: Optional[str] = None,
+              fetch_workers: int = 4, request_timeout_s: float = 60.0,
+              max_seconds: float = 600.0, warmup: bool = True,
+              warmup_seconds: float = 10.0) -> ServingApp:
+    """Checkpoint directory → started ServingApp (predictor + batcher)."""
+    from aptai_tpu.infer.api import (APTAIPredictor, ForceAPTAIPredictor,
+                                     W2V2PRPredictor)
+    from aptai_tpu.infer.loader import load_model
+    from aptai_tpu.infer.server import MicroBatcher
+
+    kind, model, params, vocab = load_model(checkpoint, dtype=dtype)
+    if kind == "w2v2_pr":
+        pred = W2V2PRPredictor(model, params, vocab,
+                               transfer_dtype=transfer_dtype)
+        entry = pred.encode_batch
+    elif kind == "aptai":
+        pred = APTAIPredictor(model, params, transfer_dtype=transfer_dtype)
+        entry = pred.predict_batch
+    else:
+        pred = ForceAPTAIPredictor(model, params,
+                                   transfer_dtype=transfer_dtype)
+        entry = pred.predict_batch
+    batcher = MicroBatcher(
+        entry, max_batch_size=max_batch_size, max_wait_ms=max_wait_ms,
+        fields=tuple(fields) if fields else KIND_FIELDS[kind],
+        fetch_workers=fetch_workers,
+    )
+    if warmup:
+        batcher.warmup(seconds=warmup_seconds)
+    batcher.start()
+    return ServingApp(batcher, kind, vocab=vocab,
+                      request_timeout_s=request_timeout_s,
+                      max_seconds=max_seconds,
+                      meta={"checkpoint": str(checkpoint)})
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="aptai-serve",
+        description="HTTP serving for aptai_tpu checkpoints "
+                    "(micro-batched, one static device shape)")
+    p.add_argument("--checkpoint", required=True,
+                   help="trainer run dir / best-model-ckpt dir")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8077)
+    p.add_argument("--max_batch_size", type=int, default=16)
+    p.add_argument("--max_wait_ms", type=float, default=10.0)
+    p.add_argument("--fields", default="",
+                   help="comma list; default: the family's serving set")
+    p.add_argument("--transfer_dtype", default="float32",
+                   choices=("float32", "int16", "uint8_mulaw"),
+                   help="host->device audio upload encoding (PERF.md r3)")
+    p.add_argument("--dtype", default=None,
+                   help="compute dtype override (e.g. bfloat16)")
+    p.add_argument("--fetch_workers", type=int, default=4)
+    p.add_argument("--timeout_s", type=float, default=60.0)
+    p.add_argument("--max_seconds", type=float, default=600.0,
+                   help="reject single requests longer than this")
+    p.add_argument("--warmup_seconds", type=float, default=10.0,
+                   help="audio length the serving shape pre-compiles for")
+    p.add_argument("--cpu", action="store_true",
+                   help="force CPU (debugging; TPU is the default backend)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    from aptai_tpu.utils.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()
+    app = build_app(
+        args.checkpoint,
+        fields=[f for f in args.fields.split(",") if f] or None,
+        max_batch_size=args.max_batch_size, max_wait_ms=args.max_wait_ms,
+        transfer_dtype=args.transfer_dtype, dtype=args.dtype,
+        fetch_workers=args.fetch_workers, request_timeout_s=args.timeout_s,
+        max_seconds=args.max_seconds, warmup_seconds=args.warmup_seconds,
+    )
+    server = make_server(app, args.host, args.port)
+
+    def _shutdown(signum, frame):  # pragma: no cover
+        print(f"received {signal.Signals(signum).name}: draining",
+              file=sys.stderr)
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _shutdown)
+    signal.signal(signal.SIGINT, _shutdown)
+    print(f"aptai-serve: {app.kind} on "
+          f"http://{server.server_address[0]}:{server.server_address[1]} "
+          f"(batch {args.max_batch_size}, fields "
+          f"{list(app.batcher.fields or ())})")
+    try:
+        server.serve_forever()
+    finally:
+        app.batcher.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -37,6 +37,12 @@ def main():
     ap.add_argument("--max_batch", type=int, default=16)
     ap.add_argument("--skip_serving", action="store_true")
     ap.add_argument("--skip_streaming", action="store_true")
+    ap.add_argument("--http", action="store_true",
+                    help="also measure through the aptai-serve HTTP "
+                         "endpoint (localhost socket + JSON marshaling on "
+                         "top of the same MicroBatcher) — quantifies the "
+                         "transport tax vs the in-process path")
+    ap.add_argument("--http_clients", type=int, default=16)
     args = ap.parse_args()
 
     sys.path.insert(0, ".")
@@ -113,6 +119,63 @@ def main():
             "throughput_audio_sec_per_sec": round(
                 n_requests * req_seconds / wall, 2),
         }))
+    # ---- HTTP transport (aptai-serve endpoint over the same engine) --------
+    if args.http and not args.skip_serving:
+        import threading
+        import urllib.request
+        from concurrent.futures import ThreadPoolExecutor
+
+        from aptai_tpu.infer.api import quantize_transfer
+        from aptai_tpu.infer.serve import ServingApp, make_server
+
+        mb_kw = ({"fetch_workers": args.fetch_workers}
+                 if args.fetch_workers else {})
+        mb = MicroBatcher(pred.predict_batch, max_batch_size=args.max_batch,
+                          max_wait_ms=5.0,
+                          fields=("tvs_pred", "phn_fc_pred"), **mb_kw)
+        mb.warmup(seconds=req_seconds)
+        mb.start()
+        app = ServingApp(mb, "aptai")
+        srv = make_server(app, "127.0.0.1", 0)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        url = (f"http://127.0.0.1:{srv.server_address[1]}/v1/predict"
+               "?fields=tvs_pred,phn_fc_pred")
+        wire = ("float32" if args.transfer_dtype == "float32"
+                else args.transfer_dtype)
+        wavs = [rng.standard_normal(
+            16000 * req_seconds).astype(np.float32) * 0.1
+            for _ in range(n_requests)]
+
+        def one(w):
+            body = quantize_transfer(w, wire).tobytes()
+            req = urllib.request.Request(
+                url, data=body, method="POST",
+                headers={"X-Audio-Encoding": wire})
+            t0 = time.perf_counter()
+            with urllib.request.urlopen(req, timeout=600) as r:
+                json.loads(r.read())
+            return time.perf_counter() - t0
+
+        one(wavs[0])  # connection/codepath warm
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(args.http_clients) as ex:
+            lat = np.sort(np.asarray(list(ex.map(one, wavs))))
+        wall = time.perf_counter() - t0
+        srv.shutdown()
+        mb.stop()
+        print(json.dumps({
+            "metric": "http_serving",
+            "requests": n_requests,
+            "clients": args.http_clients,
+            "wire_encoding": wire,
+            "audio_seconds_per_request": req_seconds,
+            "latency_p50_ms": round(1000 * float(lat[len(lat) // 2]), 1),
+            "latency_p95_ms": round(
+                1000 * float(lat[int(len(lat) * 0.95)]), 1),
+            "throughput_audio_sec_per_sec": round(
+                n_requests * req_seconds / wall, 2),
+        }))
+
     if args.skip_streaming:
         return
 

@@ -1,0 +1,186 @@
+"""HTTP serving front end (infer/serve.py): wire protocol, per-family
+response shaping, request validation — over a real socket for the APTAI
+family, transport-free for the PR family."""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from aptai_tpu import TV_ORDER
+from aptai_tpu.infer import APTAIPredictor, W2V2PRPredictor
+from aptai_tpu.infer.api import quantize_mulaw
+from aptai_tpu.infer.server import MicroBatcher
+from aptai_tpu.infer.serve import (
+    ServingApp,
+    _mulaw_expand_host,
+    decode_wire_audio,
+    make_server,
+)
+from aptai_tpu.models import APTAI, W2V2PR, tiny_config
+
+
+@pytest.fixture(scope="module")
+def aptai_server():
+    cfg = tiny_config()
+    model = APTAI(cfg, num_phonemes=11)
+    audio = jnp.zeros((1, 3200), jnp.float32)
+    lens = jnp.asarray(np.array([3200], np.int32))
+    variables = model.init(jax.random.PRNGKey(0), audio, lens,
+                           method="predict")
+    pred = APTAIPredictor(model, variables["params"])
+    batcher = MicroBatcher(pred.predict_batch, max_batch_size=2,
+                           max_wait_ms=5.0,
+                           fields=("tvs_pred", "phn_fc_pred")).start()
+    app = ServingApp(batcher, "aptai", max_seconds=5.0)
+    srv = make_server(app, "127.0.0.1", 0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}", model
+    srv.shutdown()
+    batcher.stop()
+
+
+def _request(url, body=None, headers=None, method=None):
+    req = urllib.request.Request(url, data=body, headers=headers or {},
+                                 method=method or ("POST" if body is not None
+                                                   else "GET"))
+    try:
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _wav(n=5000, seed=0):
+    return (np.random.default_rng(seed).standard_normal(n)
+            .astype(np.float32) * 0.1)
+
+
+def test_healthz(aptai_server):
+    base, _ = aptai_server
+    status, payload = _request(f"{base}/healthz")
+    assert status == 200
+    assert payload["status"] == "ok"
+    assert payload["model"] == "aptai"
+    assert payload["fields"] == ["tvs_pred", "phn_fc_pred"]
+
+
+def test_predict_float32_octet_stream(aptai_server):
+    base, model = aptai_server
+    wav = _wav()
+    status, payload = _request(f"{base}/v1/predict", wav.tobytes())
+    assert status == 200
+    t = int(model.cfg.feat_extract_output_lengths(np.asarray(len(wav))))
+    assert payload["frames"] == t
+    assert set(payload["tvs_pred"]) == set(TV_ORDER)
+    assert len(payload["tvs_pred"]["LA"]) == t
+    assert len(payload["phn_fc_pred"]) == t
+    assert all(isinstance(p, int) for p in payload["phn_fc_pred"])
+
+
+def test_predict_json_body_matches_binary(aptai_server):
+    base, _ = aptai_server
+    wav = _wav()
+    s1, p1 = _request(f"{base}/v1/predict", wav.tobytes())
+    s2, p2 = _request(
+        f"{base}/v1/predict",
+        json.dumps({"audio": wav.tolist()}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    assert (s1, s2) == (200, 200)
+    assert p1["frames"] == p2["frames"]
+    np.testing.assert_allclose(p1["tvs_pred"]["LA"], p2["tvs_pred"]["LA"],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_predict_wire_codecs(aptai_server):
+    """int16 and uint8_mulaw wire encodings serve successfully and keep
+    the frame geometry; mu-law is lossy so values only match loosely."""
+    base, _ = aptai_server
+    wav = _wav()
+    _, ref = _request(f"{base}/v1/predict", wav.tobytes())
+    i16 = np.clip(np.rint(wav * 32768.0), -32768, 32767).astype("<i2")
+    status, p = _request(f"{base}/v1/predict", i16.tobytes(),
+                         headers={"X-Audio-Encoding": "int16"})
+    assert status == 200 and p["frames"] == ref["frames"]
+    ulaw = quantize_mulaw(wav)
+    status, p = _request(f"{base}/v1/predict", ulaw.tobytes(),
+                         headers={"X-Audio-Encoding": "uint8_mulaw"})
+    assert status == 200 and p["frames"] == ref["frames"]
+
+
+def test_fields_filter_and_validation(aptai_server):
+    base, _ = aptai_server
+    wav = _wav()
+    status, p = _request(f"{base}/v1/predict?fields=tvs_pred",
+                         wav.tobytes())
+    assert status == 200
+    assert set(p) == {"frames", "tvs_pred"}
+    status, p = _request(f"{base}/v1/predict?fields=nope", wav.tobytes())
+    assert status == 400 and "nope" in p["error"]
+
+
+def test_request_validation(aptai_server):
+    base, _ = aptai_server
+    wav = _wav()
+    status, p = _request(f"{base}/v1/predict", wav.tobytes(),
+                         headers={"X-Audio-Encoding": "opus"})
+    assert status == 400 and "opus" in p["error"]
+    status, p = _request(f"{base}/v1/predict", wav.tobytes(),
+                         headers={"X-Sample-Rate": "44100"})
+    assert status == 400 and "16000" in p["error"]
+    status, p = _request(f"{base}/v1/predict", b"")
+    assert status == 400 and "empty" in p["error"]
+    # longer than the app's max_seconds=5 cap
+    status, p = _request(f"{base}/v1/predict",
+                         np.zeros(16_000 * 6, np.float32).tobytes())
+    assert status == 400 and "cap" in p["error"]
+    status, p = _request(f"{base}/nope", wav.tobytes())
+    assert status == 404
+
+
+def test_pr_family_response_shape():
+    """w2v2_pr serving: logits are decoded host-side into the reference's
+    sequence + durations contract (models/w2v2_pr.py:191-235), no socket."""
+    cfg = tiny_config()
+    model = W2V2PR(cfg)
+    audio = jnp.zeros((1, 3200), jnp.float32)
+    lens = jnp.asarray(np.array([3200], np.int32))
+    variables = model.init(jax.random.PRNGKey(0), audio, lens,
+                           method="encode")
+    vocab = {"(blank)": 0, "(...)": 1,
+             **{c: i + 2 for i, c in enumerate("abcdefghi")}}
+    pred = W2V2PRPredictor(model, variables["params"], vocab)
+    batcher = MicroBatcher(pred.encode_batch, max_batch_size=2,
+                           max_wait_ms=5.0,
+                           fields=("phoneme_logits",)).start()
+    try:
+        app = ServingApp(batcher, "w2v2_pr", vocab=vocab)
+        wav = _wav(4800)
+        status, payload = app.predict(wav.tobytes(), "", {}, {})
+        assert status == 200
+        assert payload["frames"] == int(
+            cfg.feat_extract_output_lengths(np.asarray(4800)))
+        assert isinstance(payload["phn_seq_idx"], list)
+        assert len(payload["phn_seq_dur"]) == len(payload["phn_seq_idx"])
+        assert len(payload["phn_seq_ipa"]) == len(payload["phn_seq_idx"])
+        # durations are seconds within the utterance
+        assert all(0.0 <= d <= 0.35 for d in payload["phn_seq_dur"])
+    finally:
+        batcher.stop()
+
+
+def test_decode_wire_audio_mulaw_roundtrip():
+    wav = _wav(2000, seed=3)
+    back = decode_wire_audio(quantize_mulaw(wav).tobytes(), "",
+                             "uint8_mulaw", None, 10.0)
+    snr = 10 * np.log10(np.mean(wav ** 2) /
+                        (np.mean((wav - back) ** 2) + 1e-12))
+    assert snr > 25.0  # G.711 speech-level SNR
+    np.testing.assert_allclose(
+        back, _mulaw_expand_host(quantize_mulaw(wav)), atol=0)
