@@ -226,6 +226,13 @@ class ServingApp:
 class _Handler(BaseHTTPRequestHandler):
     app: ServingApp  # bound by make_server
 
+    # HTTP/1.1 + Content-Length (always set in _send) => persistent
+    # connections: a client streaming utterances reuses one socket instead
+    # of paying connect + slow-start per request.  Nagle off: responses are
+    # one small write each — coalescing only adds latency on localhost.
+    protocol_version = "HTTP/1.1"
+    disable_nagle_algorithm = True
+
     # keep the request path quiet; errors surface as JSON statuses
     def log_message(self, *args):  # pragma: no cover
         pass

@@ -121,8 +121,8 @@ def main():
         }))
     # ---- HTTP transport (aptai-serve endpoint over the same engine) --------
     if args.http and not args.skip_serving:
+        import http.client
         import threading
-        import urllib.request
         from concurrent.futures import ThreadPoolExecutor
 
         from aptai_tpu.infer.api import quantize_transfer
@@ -138,22 +138,29 @@ def main():
         app = ServingApp(mb, "aptai")
         srv = make_server(app, "127.0.0.1", 0)
         threading.Thread(target=srv.serve_forever, daemon=True).start()
-        url = (f"http://127.0.0.1:{srv.server_address[1]}/v1/predict"
-               "?fields=tvs_pred,phn_fc_pred")
+        port = srv.server_address[1]
+        path = "/v1/predict?fields=tvs_pred,phn_fc_pred"
         wire = ("float32" if args.transfer_dtype == "float32"
                 else args.transfer_dtype)
         wavs = [rng.standard_normal(
             16000 * req_seconds).astype(np.float32) * 0.1
             for _ in range(n_requests)]
 
+        # one persistent HTTP/1.1 connection per client thread (the
+        # server keeps sockets alive) — per-request connect + slow-start
+        # would swamp the measurement on a 1-core host
+        _local = threading.local()
+
         def one(w):
+            conn = getattr(_local, "conn", None)
+            if conn is None:
+                conn = _local.conn = http.client.HTTPConnection(
+                    "127.0.0.1", port, timeout=600)
             body = quantize_transfer(w, wire).tobytes()
-            req = urllib.request.Request(
-                url, data=body, method="POST",
-                headers={"X-Audio-Encoding": wire})
             t0 = time.perf_counter()
-            with urllib.request.urlopen(req, timeout=600) as r:
-                json.loads(r.read())
+            conn.request("POST", path, body=body,
+                         headers={"X-Audio-Encoding": wire})
+            json.loads(conn.getresponse().read())
             return time.perf_counter() - t0
 
         one(wavs[0])  # connection/codepath warm

@@ -144,6 +144,28 @@ def test_request_validation(aptai_server):
     assert status == 404
 
 
+def test_persistent_connection_reuse(aptai_server):
+    """HTTP/1.1 keep-alive: two requests over ONE socket both succeed —
+    the server must send Content-Length and not close between them."""
+    import http.client
+
+    base, _ = aptai_server
+    host, port = base.removeprefix("http://").split(":")
+    conn = http.client.HTTPConnection(host, int(port), timeout=120)
+    try:
+        for seed in (0, 1):
+            conn.request("POST", "/v1/predict?fields=tvs_pred",
+                         body=_wav(seed=seed).tobytes())
+            r = conn.getresponse()
+            payload = json.loads(r.read())
+            assert r.status == 200 and "tvs_pred" in payload
+            # same socket both times — reuse, not reconnect
+            assert r.version == 11
+            assert r.getheader("Content-Length") is not None
+    finally:
+        conn.close()
+
+
 def test_pr_family_response_shape():
     """w2v2_pr serving: logits are decoded host-side into the reference's
     sequence + durations contract (models/w2v2_pr.py:191-235), no socket."""
