@@ -8,7 +8,7 @@ from aptai_tpu.infer.api import (
     fetch_outputs,
 )
 from aptai_tpu.infer.streaming import (StreamingAPTAI, StreamingForceAPTAI,
-                                       StreamingPredictor)
+                                       StreamingPredictor, StreamingW2V2PR)
 from aptai_tpu.infer.server import MicroBatcher
 from aptai_tpu.infer.serve import ServingApp, build_app, make_server
 from aptai_tpu.infer.export import (ServingBundle, load_serving_bundle,
@@ -24,6 +24,7 @@ __all__ = [
     "StreamingAPTAI",
     "StreamingForceAPTAI",
     "StreamingPredictor",
+    "StreamingW2V2PR",
     "MicroBatcher",
     "ServingApp",
     "build_app",

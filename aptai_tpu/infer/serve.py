@@ -8,7 +8,10 @@ static-shape device batch — the compile-per-shape and MXU-occupancy
 lessons of benchmarks/PERF.md), and serves:
 
   * ``GET  /healthz``     — liveness + model/service metadata
+  * ``GET  /metrics``     — request counters + latency percentiles
   * ``POST /v1/predict``  — one utterance in, JSON outputs out
+  * ``POST /v1/stream``   — one LONG recording in (beyond the predict
+    cap), chunked on-device via ``infer/streaming.py``, stitched JSON out
 
 Request body, either:
 
@@ -40,6 +43,7 @@ import json
 import signal
 import sys
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, Optional, Sequence, Tuple
 from urllib.parse import parse_qs, urlparse
@@ -117,7 +121,8 @@ class ServingApp:
 
     def __init__(self, batcher, kind: str, vocab: Optional[Dict] = None,
                  request_timeout_s: float = 60.0, max_seconds: float = 600.0,
-                 meta: Optional[Dict] = None):
+                 meta: Optional[Dict] = None, streamer=None,
+                 max_stream_seconds: float = 7200.0):
         if kind not in KIND_FIELDS:
             raise ValueError(f"unknown model kind {kind!r}")
         self.batcher = batcher
@@ -126,6 +131,30 @@ class ServingApp:
         self.request_timeout_s = request_timeout_s
         self.max_seconds = max_seconds
         self.meta = dict(meta or {})
+        self.streamer = streamer
+        self.max_stream_seconds = max_stream_seconds
+        # streaming jobs serialize: two long recordings interleaving their
+        # chunk groups on one chip would double both jobs' wall clock and
+        # thrash the micro-batcher's latency; short /v1/predict requests
+        # still interleave freely with a running stream
+        self._stream_lock = threading.Lock()
+        self._stats_lock = threading.Lock()
+        self._stats = {"requests_total": 0, "errors_total": 0,
+                       "stream_requests_total": 0,
+                       "audio_seconds_total": 0.0,
+                       "stream_audio_seconds_total": 0.0,
+                       "stream_wall_seconds_total": 0.0}
+        from collections import deque
+
+        self._latencies = deque(maxlen=1024)  # recent /v1/predict, seconds
+
+    def _count(self, status: int, **adds) -> None:
+        with self._stats_lock:
+            self._stats["requests_total"] += 1
+            if status >= 400:
+                self._stats["errors_total"] += 1
+            for k, v in adds.items():
+                self._stats[k] += v
 
     # -- endpoints ----------------------------------------------------------
 
@@ -136,11 +165,32 @@ class ServingApp:
             "max_batch_size": self.batcher.max_batch_size,
             "queue_depth": self.batcher._queue.qsize(),
             "fields": list(self.batcher.fields or ()),
+            "streaming": self.streamer is not None,
             **self.meta,
         }
 
+    def metrics(self) -> Tuple[int, Dict]:
+        """Service counters + recent /v1/predict latency percentiles (the
+        observability the reference never had — SURVEY.md §5.1/§5.5)."""
+        with self._stats_lock:
+            stats = dict(self._stats)
+            lat = np.sort(np.asarray(self._latencies, np.float64))
+        out: Dict = {**stats,
+                     "queue_depth": self.batcher._queue.qsize(),
+                     "latency_window": int(lat.size)}
+        if lat.size:
+            out["latency_p50_ms"] = round(1e3 * float(lat[lat.size // 2]), 1)
+            out["latency_p95_ms"] = round(
+                1e3 * float(lat[int(lat.size * 0.95)]), 1)
+        if stats["stream_wall_seconds_total"] > 0:
+            out["stream_rtf"] = round(
+                stats["stream_audio_seconds_total"]
+                / stats["stream_wall_seconds_total"], 2)
+        return 200, out
+
     def predict(self, body: bytes, content_type: str, headers,
                 query: Dict) -> Tuple[int, Dict]:
+        t0 = time.perf_counter()
         try:
             wav = decode_wire_audio(
                 body, content_type,
@@ -149,7 +199,11 @@ class ServingApp:
                 self.max_seconds,
             )
         except ValueError as e:
-            return 400, {"error": str(e)}
+            msg = str(e)
+            if self.streamer is not None and "serving cap" in msg:
+                msg += " — or POST it to /v1/stream on this server"
+            self._count(400)
+            return 400, {"error": msg}
 
         from concurrent.futures import TimeoutError as _FutTimeout
 
@@ -157,13 +211,58 @@ class ServingApp:
         try:
             item = fut.result(timeout=self.request_timeout_s)
         except (TimeoutError, _FutTimeout):
+            self._count(503)
             return 503, {"error":
                          f"timed out after {self.request_timeout_s:.0f} s "
                          "(server overloaded?)"}
         except Exception as e:  # batch-level failure fanned out to futures
+            self._count(500)
             return 500, {"error": f"{type(e).__name__}: {e}"}
 
         payload = self._format(item, len(wav))
+        status, payload = self._filter_fields(payload, query)
+        self._count(status,
+                    audio_seconds_total=len(wav) / SAMPLE_RATE)
+        if status == 200:
+            with self._stats_lock:
+                self._latencies.append(time.perf_counter() - t0)
+        return status, payload
+
+    def stream(self, body: bytes, content_type: str, headers,
+               query: Dict) -> Tuple[int, Dict]:
+        """Long-recording inference over the chunked streamer (same wire
+        protocol as /v1/predict, much larger duration cap)."""
+        if self.streamer is None:
+            self._count(404)
+            return 404, {"error": "streaming is not enabled on this server"}
+        try:
+            wav = decode_wire_audio(
+                body, content_type,
+                headers.get("X-Audio-Encoding"),
+                headers.get("X-Sample-Rate"),
+                self.max_stream_seconds,
+            )
+        except ValueError as e:
+            self._count(400)
+            return 400, {"error": str(e)}
+        t0 = time.perf_counter()
+        try:
+            with self._stream_lock:
+                out = self.streamer.predict(wav)
+        except Exception as e:  # device-side failure
+            self._count(500)
+            return 500, {"error": f"{type(e).__name__}: {e}"}
+        wall = time.perf_counter() - t0
+        payload = self._format_stream(out, len(wav))
+        status, payload = self._filter_fields(payload, query)
+        self._count(status,
+                    stream_requests_total=1,
+                    stream_audio_seconds_total=len(wav) / SAMPLE_RATE,
+                    stream_wall_seconds_total=wall)
+        return status, payload
+
+    def _filter_fields(self, payload: Dict,
+                       query: Dict) -> Tuple[int, Dict]:
         fields = query.get("fields")
         if fields:
             requested = [f for part in fields for f in part.split(",") if f]
@@ -222,6 +321,41 @@ class ServingApp:
                 out["pred_ctc_phn_seq_ipa"] = ipa
         return out
 
+    def _format_stream(self, out: Dict, wav_len: int) -> Dict:
+        """One streamer result (stitched, full-recording arrays) → JSON
+        payload mirroring the /v1/predict schema of the same family."""
+        if self.kind == "w2v2_pr":
+            from aptai_tpu.infer.api import (_decode_with_times,
+                                             _log_softmax_host)
+
+            logits = np.asarray(out["phoneme_logits"], np.float32)
+            n = len(logits)
+            tokens, times = _decode_with_times(_log_softmax_host(logits))
+            ratio = wav_len / max(n, 1) / SAMPLE_RATE
+            payload: Dict = {
+                "frames": n,
+                "phn_seq_idx": [int(t) for t in tokens],
+                "phn_seq_dur": [float(t * ratio) for t in times],
+            }
+            ipa = self._ipa(tokens)
+            if ipa is not None:
+                payload["phn_seq_ipa"] = ipa
+            return payload
+
+        frame_key = ("phn_fc_pred" if self.kind == "aptai"
+                     else "pred_frame_phns")
+        frames = np.asarray(out[frame_key]).tolist()
+        payload = {
+            "frames": len(frames),
+            "tvs_pred": {k: np.asarray(v).tolist()
+                         for k, v in out["tvs_pred"].items()},
+            frame_key: frames,
+        }
+        ipa = self._ipa(frames)
+        if ipa is not None:
+            payload[f"{frame_key}_ipa"] = ipa
+        return payload
+
 
 class _Handler(BaseHTTPRequestHandler):
     app: ServingApp  # bound by make_server
@@ -246,19 +380,25 @@ class _Handler(BaseHTTPRequestHandler):
         self.wfile.write(data)
 
     def do_GET(self):
-        if urlparse(self.path).path == "/healthz":
+        path = urlparse(self.path).path
+        if path == "/healthz":
             self._send(*self.app.health())
+        elif path == "/metrics":
+            self._send(*self.app.metrics())
         else:
-            self._send(404, {"error": "unknown path; GET /healthz or "
-                                      "POST /v1/predict"})
+            self._send(404, {"error": "unknown path; GET /healthz|/metrics "
+                                      "or POST /v1/predict|/v1/stream"})
 
     def do_POST(self):
         parsed = urlparse(self.path)
-        if parsed.path != "/v1/predict":
-            self._send(404, {"error": "unknown path; POST /v1/predict"})
+        handler = {"/v1/predict": self.app.predict,
+                   "/v1/stream": self.app.stream}.get(parsed.path)
+        if handler is None:
+            self._send(404, {"error":
+                             "unknown path; POST /v1/predict or /v1/stream"})
             return
         body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
-        status, payload = self.app.predict(
+        status, payload = handler(
             body, self.headers.get("Content-Type", ""), self.headers,
             parse_qs(parsed.query),
         )
@@ -273,13 +413,25 @@ def make_server(app: ServingApp, host: str = "127.0.0.1",
     return ThreadingHTTPServer((host, port), handler)
 
 
+STREAMER_CLASSES = {
+    "aptai": "StreamingAPTAI",
+    "force_aptai": "StreamingForceAPTAI",
+    "w2v2_pr": "StreamingW2V2PR",
+}
+
+
 def build_app(checkpoint: str, fields: Optional[Sequence[str]] = None,
               max_batch_size: int = 16, max_wait_ms: float = 10.0,
               transfer_dtype: str = "float32", dtype: Optional[str] = None,
               fetch_workers: int = 4, request_timeout_s: float = 60.0,
               max_seconds: float = 600.0, warmup: bool = True,
-              warmup_seconds: float = 10.0) -> ServingApp:
-    """Checkpoint directory → started ServingApp (predictor + batcher)."""
+              warmup_seconds: float = 10.0, streaming: bool = True,
+              chunk_seconds: float = 20.0, overlap_seconds: float = 2.0,
+              chunk_batch: int = 4,
+              max_stream_seconds: float = 7200.0) -> ServingApp:
+    """Checkpoint directory → started ServingApp (predictor + batcher +
+    optional long-audio streamer sharing the same weights)."""
+    from aptai_tpu.infer import streaming as streaming_mod
     from aptai_tpu.infer.api import (APTAIPredictor, ForceAPTAIPredictor,
                                      W2V2PRPredictor)
     from aptai_tpu.infer.loader import load_model
@@ -305,10 +457,27 @@ def build_app(checkpoint: str, fields: Optional[Sequence[str]] = None,
     if warmup:
         batcher.warmup(seconds=warmup_seconds)
     batcher.start()
+    streamer = None
+    if streaming:
+        cls = getattr(streaming_mod, STREAMER_CLASSES[kind])
+        try:
+            streamer = cls(model, params, chunk_seconds=chunk_seconds,
+                           overlap_seconds=overlap_seconds,
+                           chunk_batch=chunk_batch,
+                           transfer_dtype=transfer_dtype)
+        except ValueError as e:
+            # beam_host FORCE models can't stream (host callback in jit);
+            # serve bounded /v1/predict only
+            print(f"aptai-serve: /v1/stream disabled: {e}", file=sys.stderr)
+        if streamer is not None and warmup:
+            # compile the window program before the first request lands
+            streamer.predict(np.zeros(SAMPLE_RATE, np.float32))
     return ServingApp(batcher, kind, vocab=vocab,
                       request_timeout_s=request_timeout_s,
                       max_seconds=max_seconds,
-                      meta={"checkpoint": str(checkpoint)})
+                      meta={"checkpoint": str(checkpoint)},
+                      streamer=streamer,
+                      max_stream_seconds=max_stream_seconds)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -332,9 +501,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fetch_workers", type=int, default=4)
     p.add_argument("--timeout_s", type=float, default=60.0)
     p.add_argument("--max_seconds", type=float, default=600.0,
-                   help="reject single requests longer than this")
+                   help="reject single /v1/predict requests longer than "
+                        "this (long files go to /v1/stream)")
     p.add_argument("--warmup_seconds", type=float, default=10.0,
                    help="audio length the serving shape pre-compiles for")
+    p.add_argument("--no_streaming", action="store_true",
+                   help="disable the /v1/stream long-audio endpoint")
+    p.add_argument("--chunk_seconds", type=float, default=20.0)
+    p.add_argument("--overlap_seconds", type=float, default=2.0)
+    p.add_argument("--chunk_batch", type=int, default=4,
+                   help="chunks per device forward on /v1/stream (higher = "
+                        "more throughput, longer per-group latency)")
+    p.add_argument("--max_stream_seconds", type=float, default=7200.0,
+                   help="reject /v1/stream requests longer than this")
     p.add_argument("--cpu", action="store_true",
                    help="force CPU (debugging; TPU is the default backend)")
     return p
@@ -356,6 +535,9 @@ def main(argv=None) -> int:
         transfer_dtype=args.transfer_dtype, dtype=args.dtype,
         fetch_workers=args.fetch_workers, request_timeout_s=args.timeout_s,
         max_seconds=args.max_seconds, warmup_seconds=args.warmup_seconds,
+        streaming=not args.no_streaming, chunk_seconds=args.chunk_seconds,
+        overlap_seconds=args.overlap_seconds, chunk_batch=args.chunk_batch,
+        max_stream_seconds=args.max_stream_seconds,
     )
     server = make_server(app, args.host, args.port)
 
@@ -369,7 +551,8 @@ def main(argv=None) -> int:
     print(f"aptai-serve: {app.kind} on "
           f"http://{server.server_address[0]}:{server.server_address[1]} "
           f"(batch {args.max_batch_size}, fields "
-          f"{list(app.batcher.fields or ())})")
+          f"{list(app.batcher.fields or ())}, streaming "
+          f"{'on' if app.streamer is not None else 'off'})")
     try:
         server.serve_forever()
     finally:

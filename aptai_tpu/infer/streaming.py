@@ -34,10 +34,12 @@ from aptai_tpu import FRAME_RATE_HZ, SAMPLE_RATE, TV_ORDER
 
 
 class StreamingPredictor:
-    """Chunked streaming over any model exposing a batched ``predict``
-    method whose outputs include per-frame arrays named in ``frame_keys``."""
+    """Chunked streaming over any model exposing a batched ``apply_method``
+    (``predict`` by default) whose outputs include per-frame arrays named
+    in ``frame_keys``."""
 
     frame_keys: Tuple[str, ...] = ("tvs_pred",)
+    apply_method: str = "predict"
 
     def __init__(self, model, params, chunk_seconds: float = 20.0,
                  overlap_seconds: float = 2.0, mesh=None,
@@ -104,7 +106,8 @@ class StreamingPredictor:
                 jax.lax.dynamic_slice(win, (i * self.hop,), (self.chunk,))
                 for i in range(g)
             ])
-            out = model.apply({"params": p}, a, l, method="predict")
+            out = model.apply({"params": p}, a, l,
+                              method=self.apply_method)
             # only the stitched keys leave the device: XLA dead-code
             # -eliminates the unused heads and the tunnel marshals only
             # what the stitcher consumes
@@ -114,7 +117,8 @@ class StreamingPredictor:
             from aptai_tpu.infer.api import dequantize_transfer
 
             a = dequantize_transfer(a)
-            out = model.apply({"params": p}, a, l, method="predict")
+            out = model.apply({"params": p}, a, l,
+                              method=self.apply_method)
             return {k: v for k, v in out.items() if k in keep}
 
         self._fwd_window = jax.jit(fwd_window)
@@ -290,5 +294,23 @@ class StreamingForceAPTAI(StreamingPredictor):
         return {
             "tvs_pred": {k: tvs_all[:, i] for i, k in enumerate(TV_ORDER)},
             "pred_frame_phns": stitched["pred_frame_phns"],
+            "frame_rate_hz": FRAME_RATE_HZ,
+        }
+
+
+class StreamingW2V2PR(StreamingPredictor):
+    """Streaming phoneme recognizer: stitched CTC logits for arbitrarily
+    long audio (the reference's PR inference helpers are batch-1 eager,
+    models/w2v2_pr.py:124-277).  The stitched (T, vocab) logits decode
+    host-side exactly like the bounded path (infer/api.py
+    ``_decode_with_times``), so one long recording yields one phoneme
+    sequence with absolute timestamps on the 20 ms grid."""
+
+    frame_keys = ("phoneme_logits",)
+    apply_method = "encode"
+
+    def _format(self, stitched):
+        return {
+            "phoneme_logits": stitched["phoneme_logits"],
             "frame_rate_hz": FRAME_RATE_HZ,
         }

@@ -43,6 +43,10 @@ def main():
                          "top of the same MicroBatcher) — quantifies the "
                          "transport tax vs the in-process path")
     ap.add_argument("--http_clients", type=int, default=16)
+    ap.add_argument("--http_stream", action="store_true",
+                    help="measure POST /v1/stream: one long recording "
+                         "through the HTTP streaming endpoint vs the "
+                         "direct StreamingAPTAI path")
     args = ap.parse_args()
 
     sys.path.insert(0, ".")
@@ -181,6 +185,68 @@ def main():
                 1000 * float(lat[int(len(lat) * 0.95)]), 1),
             "throughput_audio_sec_per_sec": round(
                 n_requests * req_seconds / wall, 2),
+        }))
+
+    # ---- HTTP streaming endpoint (POST /v1/stream) -------------------------
+    if args.http_stream:
+        import http.client
+        import threading
+
+        from aptai_tpu.infer import StreamingAPTAI
+        from aptai_tpu.infer.api import quantize_transfer
+        from aptai_tpu.infer.serve import ServingApp, make_server
+        from aptai_tpu.infer.server import MicroBatcher
+
+        minutes = stream_minutes
+        streamer = StreamingAPTAI(model, params, chunk_seconds=20.0,
+                                  overlap_seconds=2.0,
+                                  chunk_batch=args.chunk_batch,
+                                  transfer_dtype=args.transfer_dtype)
+        mb = MicroBatcher(pred.predict_batch, max_batch_size=4,
+                          max_wait_ms=5.0,
+                          fields=("tvs_pred", "phn_fc_pred"))
+        mb.warmup(seconds=req_seconds)
+        mb.start()
+        app = ServingApp(mb, "aptai", streamer=streamer,
+                         max_stream_seconds=7200.0)
+        srv = make_server(app, "127.0.0.1", 0)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        wav = (rng.standard_normal(int(16000 * 60 * minutes))
+               * 0.1).astype(np.float32)
+        streamer.predict(wav[: streamer.chunk + streamer.hop])  # compile
+        wire = ("float32" if args.transfer_dtype == "float32"
+                else args.transfer_dtype)
+        body = quantize_transfer(wav, wire).tobytes()
+        conn = http.client.HTTPConnection(
+            "127.0.0.1", srv.server_address[1], timeout=1200)
+        times_http, times_direct = [], []
+        for _ in range(max(args.stream_reps, 1)):
+            t0 = time.perf_counter()
+            conn.request("POST", "/v1/stream?fields=tvs_pred,phn_fc_pred",
+                         body=body,
+                         headers={"X-Audio-Encoding": wire})
+            out = json.loads(conn.getresponse().read())
+            times_http.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            direct = streamer.predict(wav)
+            times_direct.append(time.perf_counter() - t0)
+        conn.close()
+        srv.shutdown()
+        mb.stop()
+        assert out["frames"] == len(direct["phn_fc_pred"])
+        audio_s = len(wav) / 16000
+        print(json.dumps({
+            "metric": "http_streaming",
+            "audio_minutes": minutes,
+            "chunk_batch": args.chunk_batch,
+            "wire_encoding": wire,
+            "frames": out["frames"],
+            "http_rtf_median": round(
+                sorted(audio_s / t for t in times_http)
+                [len(times_http) // 2], 1),
+            "direct_rtf_median": round(
+                sorted(audio_s / t for t in times_direct)
+                [len(times_direct) // 2], 1),
         }))
 
     if args.skip_streaming:

@@ -27,6 +27,8 @@ from aptai_tpu.models import APTAI, W2V2PR, tiny_config
 
 @pytest.fixture(scope="module")
 def aptai_server():
+    from aptai_tpu.infer import StreamingAPTAI
+
     cfg = tiny_config()
     model = APTAI(cfg, num_phonemes=11)
     audio = jnp.zeros((1, 3200), jnp.float32)
@@ -37,10 +39,14 @@ def aptai_server():
     batcher = MicroBatcher(pred.predict_batch, max_batch_size=2,
                            max_wait_ms=5.0,
                            fields=("tvs_pred", "phn_fc_pred")).start()
-    app = ServingApp(batcher, "aptai", max_seconds=5.0)
+    streamer = StreamingAPTAI(model, variables["params"],
+                              chunk_seconds=2.0, overlap_seconds=0.5,
+                              chunk_batch=2)
+    app = ServingApp(batcher, "aptai", max_seconds=5.0, streamer=streamer,
+                     max_stream_seconds=60.0)
     srv = make_server(app, "127.0.0.1", 0)
     threading.Thread(target=srv.serve_forever, daemon=True).start()
-    yield f"http://127.0.0.1:{srv.server_address[1]}", model
+    yield f"http://127.0.0.1:{srv.server_address[1]}", model, app
     srv.shutdown()
     batcher.stop()
 
@@ -62,7 +68,7 @@ def _wav(n=5000, seed=0):
 
 
 def test_healthz(aptai_server):
-    base, _ = aptai_server
+    base, _, _ = aptai_server
     status, payload = _request(f"{base}/healthz")
     assert status == 200
     assert payload["status"] == "ok"
@@ -71,7 +77,7 @@ def test_healthz(aptai_server):
 
 
 def test_predict_float32_octet_stream(aptai_server):
-    base, model = aptai_server
+    base, model, _ = aptai_server
     wav = _wav()
     status, payload = _request(f"{base}/v1/predict", wav.tobytes())
     assert status == 200
@@ -84,7 +90,7 @@ def test_predict_float32_octet_stream(aptai_server):
 
 
 def test_predict_json_body_matches_binary(aptai_server):
-    base, _ = aptai_server
+    base, _, _ = aptai_server
     wav = _wav()
     s1, p1 = _request(f"{base}/v1/predict", wav.tobytes())
     s2, p2 = _request(
@@ -101,7 +107,7 @@ def test_predict_json_body_matches_binary(aptai_server):
 def test_predict_wire_codecs(aptai_server):
     """int16 and uint8_mulaw wire encodings serve successfully and keep
     the frame geometry; mu-law is lossy so values only match loosely."""
-    base, _ = aptai_server
+    base, _, _ = aptai_server
     wav = _wav()
     _, ref = _request(f"{base}/v1/predict", wav.tobytes())
     i16 = np.clip(np.rint(wav * 32768.0), -32768, 32767).astype("<i2")
@@ -115,7 +121,7 @@ def test_predict_wire_codecs(aptai_server):
 
 
 def test_fields_filter_and_validation(aptai_server):
-    base, _ = aptai_server
+    base, _, _ = aptai_server
     wav = _wav()
     status, p = _request(f"{base}/v1/predict?fields=tvs_pred",
                          wav.tobytes())
@@ -126,7 +132,7 @@ def test_fields_filter_and_validation(aptai_server):
 
 
 def test_request_validation(aptai_server):
-    base, _ = aptai_server
+    base, _, _ = aptai_server
     wav = _wav()
     status, p = _request(f"{base}/v1/predict", wav.tobytes(),
                          headers={"X-Audio-Encoding": "opus"})
@@ -149,7 +155,7 @@ def test_persistent_connection_reuse(aptai_server):
     the server must send Content-Length and not close between them."""
     import http.client
 
-    base, _ = aptai_server
+    base, _, _ = aptai_server
     host, port = base.removeprefix("http://").split(":")
     conn = http.client.HTTPConnection(host, int(port), timeout=120)
     try:
@@ -206,3 +212,98 @@ def test_decode_wire_audio_mulaw_roundtrip():
     assert snr > 25.0  # G.711 speech-level SNR
     np.testing.assert_allclose(
         back, _mulaw_expand_host(quantize_mulaw(wav)), atol=0)
+
+
+def test_stream_endpoint_matches_direct_streamer(aptai_server):
+    """POST /v1/stream on a recording LONGER than the predict cap returns
+    the stitched full-recording outputs, equal to calling the streamer
+    directly; /v1/predict's cap error now points at the stream route."""
+    base, _, app = aptai_server
+    wav = _wav(16_000 * 8, seed=7)  # 8 s > max_seconds=5
+
+    status, p = _request(f"{base}/v1/predict", wav.tobytes())
+    assert status == 400 and "/v1/stream" in p["error"]
+
+    status, p = _request(f"{base}/v1/stream", wav.tobytes())
+    assert status == 200
+    direct = app.streamer.predict(wav)
+    assert p["frames"] == len(direct["phn_fc_pred"])
+    assert p["phn_fc_pred"] == [int(x) for x in direct["phn_fc_pred"]]
+    np.testing.assert_allclose(p["tvs_pred"]["LA"],
+                               np.asarray(direct["tvs_pred"]["LA"]),
+                               rtol=1e-4, atol=1e-5)
+    # wire codecs + fields filter apply to the stream route too
+    i16 = np.clip(np.rint(wav * 32768.0), -32768, 32767).astype("<i2")
+    status, p16 = _request(f"{base}/v1/stream?fields=tvs_pred",
+                           i16.tobytes(),
+                           headers={"X-Audio-Encoding": "int16"})
+    assert status == 200 and set(p16) == {"frames", "tvs_pred"}
+    assert p16["frames"] == p["frames"]
+    # beyond max_stream_seconds is still rejected
+    status, p = _request(
+        f"{base}/v1/stream",
+        np.zeros(16_000 * 61, np.float32).tobytes())
+    assert status == 400 and "cap" in p["error"]
+
+
+def test_metrics_endpoint(aptai_server):
+    base, _, app = aptai_server
+    _request(f"{base}/v1/predict", _wav().tobytes())  # ensure >=1 success
+    status, m = _request(f"{base}/metrics")
+    assert status == 200
+    assert m["requests_total"] >= 1
+    assert m["audio_seconds_total"] > 0
+    assert m["latency_window"] >= 1 and m["latency_p50_ms"] > 0
+    if m["stream_requests_total"]:
+        assert m["stream_rtf"] > 0
+
+
+def test_streaming_disabled_is_404():
+    cfg = tiny_config()
+    model = APTAI(cfg, num_phonemes=11)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 3200), jnp.float32),
+        jnp.asarray(np.array([3200], np.int32)), method="predict")
+    pred = APTAIPredictor(model, variables["params"])
+    batcher = MicroBatcher(pred.predict_batch, max_batch_size=2,
+                           max_wait_ms=5.0, fields=("tvs_pred",)).start()
+    try:
+        app = ServingApp(batcher, "aptai")  # no streamer
+        status, p = app.stream(_wav().tobytes(), "", {}, {})
+        assert status == 404 and "not enabled" in p["error"]
+    finally:
+        batcher.stop()
+
+
+def test_pr_stream_decodes_long_recording():
+    """w2v2_pr /v1/stream: stitched CTC logits decode host-side into one
+    sequence with absolute timestamps (transport-free)."""
+    from aptai_tpu.infer import StreamingW2V2PR
+
+    cfg = tiny_config()
+    model = W2V2PR(cfg)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 3200), jnp.float32),
+        jnp.asarray(np.array([3200], np.int32)), method="encode")
+    vocab = {"(blank)": 0, "(...)": 1,
+             **{c: i + 2 for i, c in enumerate("abcdefghi")}}
+    pred = W2V2PRPredictor(model, variables["params"], vocab)
+    batcher = MicroBatcher(pred.encode_batch, max_batch_size=2,
+                           max_wait_ms=5.0,
+                           fields=("phoneme_logits",)).start()
+    streamer = StreamingW2V2PR(model, variables["params"],
+                               chunk_seconds=2.0, overlap_seconds=0.5)
+    try:
+        app = ServingApp(batcher, "w2v2_pr", vocab=vocab, max_seconds=3.0,
+                         streamer=streamer, max_stream_seconds=60.0)
+        wav = _wav(16_000 * 7, seed=11)
+        status, p = app.stream(wav.tobytes(), "", {}, {})
+        assert status == 200
+        t = int(cfg.feat_extract_output_lengths(np.asarray(len(wav))))
+        # stitching reproduces the full-recording frame count exactly
+        assert p["frames"] == t
+        assert len(p["phn_seq_dur"]) == len(p["phn_seq_idx"])
+        assert len(p["phn_seq_ipa"]) == len(p["phn_seq_idx"])
+        assert all(0.0 <= d <= 7.05 for d in p["phn_seq_dur"])
+    finally:
+        batcher.stop()
