@@ -28,6 +28,14 @@ traces as ``{"TV name": [floats]}`` (the reference's per-TV dict shape,
 reference models/aptai.py:152-172) and phoneme ids (+ IPA when the
 checkpoint carries a vocab).
 
+``?format=binary`` (or ``X-Response-Format: binary``) swaps the JSON
+body for the packed binary frame of :func:`encode_binary` — the array
+payloads ship as raw little-endian buffers instead of JSON text, which
+removes the dominant response cost for long recordings (a 10-minute
+/v1/stream response is ~270K numbers; JSON-encoding and re-parsing them
+costs ~0.8 s on a 1-core host — benchmarks/PERF.md round 3).  Decode
+client-side with :func:`decode_binary` (stdlib + numpy only).
+
 The reference has no serving surface at all — its inference is eager
 batch-1 module calls (reference models/aptai.py:125-179,
 models/w2v2_pr.py:191-235); this transport + the batching engine is the
@@ -111,6 +119,90 @@ def decode_wire_audio(body: bytes, content_type: str,
             f"audio longer than the serving cap ({max_seconds:.0f} s); "
             "use the streaming API (infer/streaming.py) for long files")
     return audio
+
+
+def jsonify(obj):
+    """Recursively convert numpy arrays/scalars to JSON-able types (the
+    response payloads keep arrays until the transport boundary so the
+    binary path never round-trips through Python lists)."""
+    if isinstance(obj, np.ndarray):
+        return obj.tolist()
+    if isinstance(obj, np.integer):
+        return int(obj)
+    if isinstance(obj, np.floating):
+        return float(obj)
+    if isinstance(obj, dict):
+        return {k: jsonify(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [jsonify(v) for v in obj]
+    return obj
+
+
+_BINARY_MAGIC = b"ATB1"
+
+
+def encode_binary(payload: Dict) -> bytes:
+    """Pack a response payload into the aptai binary frame:
+
+    ``b"ATB1" | uint32le header_len | header JSON | raw array buffers``
+
+    The header is ``{"fields": {"<dotted.path>": {"dtype": "<f4",
+    "shape": [...], "offset": N}}, "meta": {...}}``: every numpy array in
+    the payload (nested dicts use dotted paths, e.g. ``tvs_pred.LA``)
+    ships as a contiguous little-endian buffer at its offset past the
+    header; everything else stays JSON in ``meta``."""
+    fields: Dict[str, Dict] = {}
+    bufs: list = []
+    offset = 0
+
+    def split(prefix: str, val):
+        nonlocal offset
+        if isinstance(val, np.ndarray):
+            arr = np.ascontiguousarray(val)
+            if arr.dtype.byteorder == ">":
+                arr = arr.astype(arr.dtype.newbyteorder("<"))
+            fields[prefix] = {"dtype": arr.dtype.str, "shape": list(arr.shape),
+                              "offset": offset}
+            b = arr.tobytes()
+            bufs.append(b)
+            offset += len(b)
+            return _OMIT
+        if isinstance(val, dict):
+            out = {}
+            for k, v in val.items():
+                r = split(f"{prefix}.{k}" if prefix else str(k), v)
+                if r is not _OMIT:
+                    out[k] = r
+            return out
+        return jsonify(val)
+
+    _OMIT = object()
+    meta = split("", payload)
+    header = json.dumps({"fields": fields, "meta": meta}).encode()
+    return b"".join([_BINARY_MAGIC, np.uint32(len(header)).tobytes(),
+                     header, *bufs])
+
+
+def decode_binary(data: bytes) -> Dict:
+    """Client-side inverse of :func:`encode_binary` — rebuilds the payload
+    dict with numpy arrays in place of the JSON lists."""
+    if data[:4] != _BINARY_MAGIC:
+        raise ValueError("not an aptai binary response (missing ATB1 magic)")
+    hlen = int(np.frombuffer(data[4:8], "<u4")[0])
+    header = json.loads(data[8 : 8 + hlen])
+    base = 8 + hlen
+    out = header["meta"]
+    for path, spec in header["fields"].items():
+        arr = np.frombuffer(
+            data, np.dtype(spec["dtype"]), count=int(np.prod(spec["shape"],
+                                                             dtype=np.int64)),
+            offset=base + spec["offset"]).reshape(spec["shape"])
+        node = out
+        *parents, leaf = path.split(".")
+        for p in parents:
+            node = node.setdefault(p, {})
+        node[leaf] = arr
+    return out
 
 
 class ServingApp:
@@ -286,8 +378,10 @@ class ServingApp:
 
     def _format(self, item: Dict, wav_len: int) -> Dict:
         """One MicroBatcher item (arrays already cut to the utterance's
-        frame count) → JSON-ready payload, per model family."""
-        from aptai_tpu.infer.api import _log_softmax_host, _tv_dict
+        frame count) → response payload, per model family.  Array values
+        stay numpy until the transport boundary (``jsonify`` /
+        ``encode_binary``)."""
+        from aptai_tpu.infer.api import _log_softmax_host
 
         n = int(item["frame_lengths"])
         out: Dict = {"frames": n}
@@ -297,33 +391,38 @@ class ServingApp:
             logits = np.asarray(item["phoneme_logits"], np.float32)
             tokens, times = _decode_with_times(_log_softmax_host(logits))
             ratio = wav_len / max(n, 1) / SAMPLE_RATE
-            out["phn_seq_idx"] = [int(t) for t in tokens]
-            out["phn_seq_dur"] = [float(t * ratio) for t in times]
+            out["phn_seq_idx"] = np.asarray(tokens, np.int32)
+            out["phn_seq_dur"] = (np.asarray(times, np.float32)
+                                  * np.float32(ratio))
             ipa = self._ipa(tokens)
             if ipa is not None:
                 out["phn_seq_ipa"] = ipa
             return out
 
-        out["tvs_pred"] = _tv_dict(np.asarray(item["tvs_pred"]))
+        from aptai_tpu import TV_ORDER
+
+        tvs = np.asarray(item["tvs_pred"], np.float32)
+        out["tvs_pred"] = {k: tvs[:, i] for i, k in enumerate(TV_ORDER)}
         frame_key = ("phn_fc_pred" if self.kind == "aptai"
                      else "pred_frame_phns")
-        frames = np.asarray(item[frame_key]).tolist()
+        frames = np.asarray(item[frame_key])
         out[frame_key] = frames
-        ipa = self._ipa(frames)
+        ipa = self._ipa([int(x) for x in frames])
         if ipa is not None:
             out[f"{frame_key}_ipa"] = ipa
         if self.kind == "force_aptai":
             s = int(item["phn_seq_lengths"])
-            seq = np.asarray(item["pred_ctc_phn_seq"])[:s].tolist()
+            seq = np.asarray(item["pred_ctc_phn_seq"])[:s]
             out["pred_ctc_phn_seq"] = seq
-            ipa = self._ipa(seq)
+            ipa = self._ipa([int(x) for x in seq])
             if ipa is not None:
                 out["pred_ctc_phn_seq_ipa"] = ipa
         return out
 
     def _format_stream(self, out: Dict, wav_len: int) -> Dict:
-        """One streamer result (stitched, full-recording arrays) → JSON
-        payload mirroring the /v1/predict schema of the same family."""
+        """One streamer result (stitched, full-recording arrays) → response
+        payload mirroring the /v1/predict schema of the same family (arrays
+        stay numpy until the transport boundary)."""
         if self.kind == "w2v2_pr":
             from aptai_tpu.infer.api import (_decode_with_times,
                                              _log_softmax_host)
@@ -334,8 +433,9 @@ class ServingApp:
             ratio = wav_len / max(n, 1) / SAMPLE_RATE
             payload: Dict = {
                 "frames": n,
-                "phn_seq_idx": [int(t) for t in tokens],
-                "phn_seq_dur": [float(t * ratio) for t in times],
+                "phn_seq_idx": np.asarray(tokens, np.int32),
+                "phn_seq_dur": (np.asarray(times, np.float32)
+                                * np.float32(ratio)),
             }
             ipa = self._ipa(tokens)
             if ipa is not None:
@@ -344,14 +444,14 @@ class ServingApp:
 
         frame_key = ("phn_fc_pred" if self.kind == "aptai"
                      else "pred_frame_phns")
-        frames = np.asarray(out[frame_key]).tolist()
+        frames = np.asarray(out[frame_key])
         payload = {
             "frames": len(frames),
-            "tvs_pred": {k: np.asarray(v).tolist()
+            "tvs_pred": {k: np.asarray(v)
                          for k, v in out["tvs_pred"].items()},
             frame_key: frames,
         }
-        ipa = self._ipa(frames)
+        ipa = self._ipa([int(x) for x in frames])
         if ipa is not None:
             payload[f"{frame_key}_ipa"] = ipa
         return payload
@@ -371,10 +471,16 @@ class _Handler(BaseHTTPRequestHandler):
     def log_message(self, *args):  # pragma: no cover
         pass
 
-    def _send(self, status: int, payload: Dict) -> None:
-        data = json.dumps(payload).encode()
+    def _send(self, status: int, payload: Dict,
+              binary: bool = False) -> None:
+        if binary and status == 200:
+            data = encode_binary(payload)
+            ctype = "application/x-aptai-bin"
+        else:  # errors are always JSON, whatever the requested format
+            data = json.dumps(jsonify(payload)).encode()
+            ctype = "application/json"
         self.send_response(status)
-        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Type", ctype)
         self.send_header("Content-Length", str(len(data)))
         self.end_headers()
         self.wfile.write(data)
@@ -397,12 +503,18 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(404, {"error":
                              "unknown path; POST /v1/predict or /v1/stream"})
             return
+        query = parse_qs(parsed.query)
+        fmt = (query.get("format")
+               or [self.headers.get("X-Response-Format", "json")])[-1]
+        if fmt not in ("json", "binary"):
+            self._send(400, {"error": f"unknown response format {fmt!r}; "
+                                      "expected 'json' or 'binary'"})
+            return
         body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
         status, payload = handler(
-            body, self.headers.get("Content-Type", ""), self.headers,
-            parse_qs(parsed.query),
+            body, self.headers.get("Content-Type", ""), self.headers, query,
         )
-        self._send(status, payload)
+        self._send(status, payload, binary=fmt == "binary")
 
 
 def make_server(app: ServingApp, host: str = "127.0.0.1",

@@ -31,6 +31,11 @@ from aptai_tpu.parallel.mesh import (
     shard_batch,
     shard_tree,
 )
+from aptai_tpu.parallel.multihost import (
+    init_distributed,
+    is_primary,
+    process_env_defaults,
+)
 from aptai_tpu.parallel.pipeline import (
     PIPE_AXIS,
     interleaved_layer_order,
@@ -46,13 +51,16 @@ __all__ = [
     "DATA_AXIS",
     "MODEL_AXIS",
     "PIPE_AXIS",
+    "init_distributed",
     "interleaved_layer_order",
+    "is_primary",
     "make_mesh",
     "batch_sharding",
     "schedule_ticks",
     "param_shardings",
     "pipeline_layer_stack",
     "pipelined_encoder_apply",
+    "process_env_defaults",
     "replicated",
     "shard_batch",
     "shard_tree",

@@ -89,6 +89,14 @@ class TrainConfig:
     # reproducibility across topologies/backends at that cost.
     rng_impl: str = "rbg"
 
+    # multi-process (multi-host) launch — parallel/multihost.py: one
+    # coordinator, same command per host, jax.devices() becomes the global
+    # list and the mesh spans hosts.  "auto" autodetects on TPU pods;
+    # unset process_id/num_processes fall back to SLURM/MPI env vars.
+    coordinator_address: str = ""
+    num_processes: int = 0
+    process_id: int = -1
+
     # derived
     date_time: str = ""
     exp_name: str = ""
@@ -103,6 +111,18 @@ class TrainConfig:
             import jax
 
             jax.config.update("jax_default_prng_impl", self.rng_impl)
+        if self.coordinator_address:
+            # must run before the first backend touch (jax.devices())
+            from aptai_tpu.parallel import (init_distributed,
+                                            process_env_defaults)
+
+            env = process_env_defaults()
+            if self.num_processes <= 0:
+                self.num_processes = env.get("num_processes", 0)
+            if self.process_id < 0:
+                self.process_id = env.get("process_id", -1)
+            init_distributed(self.coordinator_address,
+                             self.num_processes, self.process_id)
         if self.debug_nans:
             # the deeper analog of the reference's always-on
             # torch.autograd.set_detect_anomaly (train_aptai.py:405):

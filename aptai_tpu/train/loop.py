@@ -24,6 +24,7 @@ from __future__ import annotations
 import signal
 import threading
 import time
+import warnings
 from typing import Callable, Dict, Optional
 
 import jax
@@ -147,6 +148,19 @@ def fit(
     subset_rng = np.random.default_rng(cfg.seed)
     history = []
 
+    # multi-process runs: every process executes the same SPMD program,
+    # but host-side writes (checkpoints, metric logs) happen once — on
+    # the primary (parallel/multihost.py).  Single-process: always True.
+    from aptai_tpu.parallel import is_primary
+
+    primary = is_primary()
+    if jax.process_count() > 1 and getattr(cfg, "fsdp", False):
+        warnings.warn(
+            "FSDP + multi-process: checkpoint fetches read only "
+            "process-addressable shards; primary-only checkpointing of an "
+            "fsdp-sharded state is not supported — run DP (fsdp=False) or "
+            "ckpt_every=0", stacklevel=2)
+
     guard = _PreemptionGuard(
         log_fn, enabled=getattr(cfg, "graceful_preemption", True))
     with mesh, guard:
@@ -226,10 +240,11 @@ def fit(
                 # mid-epoch preemption: skip validation (the grace window
                 # is short), persist params + moments + step, repeat this
                 # epoch on resume
-                ckpt.save_interrupt(epoch, state.params,
-                                    opt_state=state.opt_state,
-                                    step=int(state.step),
-                                    model_cfg=model_cfg)
+                if primary:
+                    ckpt.save_interrupt(epoch, state.params,
+                                        opt_state=state.opt_state,
+                                        step=int(state.step),
+                                        model_cfg=model_cfg)
                 log_fn(f"preempted during epoch {epoch + 1} after "
                        f"{losses.size} steps: resume checkpoint written; "
                        f"rerun with --exp_dir {ckpt.exp_dir} to continue")
@@ -258,13 +273,15 @@ def fit(
                 # never best.
                 improved = False
                 want_last = False
-            else:
+            elif primary:
                 improved = ckpt.update(
                     epoch, val_logs, state.params,
                     opt_state=state.opt_state,
                     step=int(state.step), model_cfg=model_cfg,
                     save_last=want_last,
                 )
+            else:  # secondaries run the same epochs, never touch disk
+                improved = False
             ckpt_time = time.perf_counter() - t_ckpt
             entry = {
                 "epoch": epoch,
@@ -279,7 +296,7 @@ def fit(
                 **val_logs,
             }
             history.append(entry)
-            if logger is not None:
+            if logger is not None and primary:
                 logger.log(entry, step=int(state.step))
             log_fn(
                 f"epoch {epoch + 1}/{cfg.num_epochs} lr={lr:.2e} "
@@ -292,7 +309,7 @@ def fit(
                 # epoch-boundary preemption (signal arrived during
                 # validation/checkpointing): epoch is complete, resume at
                 # the next one
-                if not (improved or want_last):
+                if primary and not (improved or want_last):
                     ckpt.save_interrupt(epoch + 1, state.params,
                                         opt_state=state.opt_state,
                                         step=int(state.step),

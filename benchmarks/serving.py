@@ -47,6 +47,10 @@ def main():
                     help="measure POST /v1/stream: one long recording "
                          "through the HTTP streaming endpoint vs the "
                          "direct StreamingAPTAI path")
+    ap.add_argument("--response_format", default="json",
+                    choices=["json", "binary"],
+                    help="HTTP response encoding (binary = packed "
+                         "little-endian arrays, serve.py encode_binary)")
     args = ap.parse_args()
 
     sys.path.insert(0, ".")
@@ -130,7 +134,8 @@ def main():
         from concurrent.futures import ThreadPoolExecutor
 
         from aptai_tpu.infer.api import quantize_transfer
-        from aptai_tpu.infer.serve import ServingApp, make_server
+        from aptai_tpu.infer.serve import (ServingApp, decode_binary,
+                                           make_server)
 
         mb_kw = ({"fetch_workers": args.fetch_workers}
                  if args.fetch_workers else {})
@@ -143,7 +148,9 @@ def main():
         srv = make_server(app, "127.0.0.1", 0)
         threading.Thread(target=srv.serve_forever, daemon=True).start()
         port = srv.server_address[1]
-        path = "/v1/predict?fields=tvs_pred,phn_fc_pred"
+        path = ("/v1/predict?fields=tvs_pred,phn_fc_pred"
+                + ("&format=binary" if args.response_format == "binary"
+                   else ""))
         wire = ("float32" if args.transfer_dtype == "float32"
                 else args.transfer_dtype)
         wavs = [rng.standard_normal(
@@ -164,7 +171,9 @@ def main():
             t0 = time.perf_counter()
             conn.request("POST", path, body=body,
                          headers={"X-Audio-Encoding": wire})
-            json.loads(conn.getresponse().read())
+            raw = conn.getresponse().read()
+            (decode_binary if args.response_format == "binary"
+             else json.loads)(raw)
             return time.perf_counter() - t0
 
         one(wavs[0])  # connection/codepath warm
@@ -179,6 +188,7 @@ def main():
             "requests": n_requests,
             "clients": args.http_clients,
             "wire_encoding": wire,
+            "response_format": args.response_format,
             "audio_seconds_per_request": req_seconds,
             "latency_p50_ms": round(1000 * float(lat[len(lat) // 2]), 1),
             "latency_p95_ms": round(
@@ -194,7 +204,8 @@ def main():
 
         from aptai_tpu.infer import StreamingAPTAI
         from aptai_tpu.infer.api import quantize_transfer
-        from aptai_tpu.infer.serve import ServingApp, make_server
+        from aptai_tpu.infer.serve import (ServingApp, decode_binary,
+                                           make_server)
         from aptai_tpu.infer.server import MicroBatcher
 
         minutes = stream_minutes
@@ -222,10 +233,15 @@ def main():
         times_http, times_direct = [], []
         for _ in range(max(args.stream_reps, 1)):
             t0 = time.perf_counter()
-            conn.request("POST", "/v1/stream?fields=tvs_pred,phn_fc_pred",
+            conn.request("POST",
+                         "/v1/stream?fields=tvs_pred,phn_fc_pred"
+                         + ("&format=binary"
+                            if args.response_format == "binary" else ""),
                          body=body,
                          headers={"X-Audio-Encoding": wire})
-            out = json.loads(conn.getresponse().read())
+            raw = conn.getresponse().read()
+            out = (decode_binary if args.response_format == "binary"
+                   else json.loads)(raw)
             times_http.append(time.perf_counter() - t0)
             t0 = time.perf_counter()
             direct = streamer.predict(wav)
@@ -240,6 +256,7 @@ def main():
             "audio_minutes": minutes,
             "chunk_batch": args.chunk_batch,
             "wire_encoding": wire,
+            "response_format": args.response_format,
             "frames": out["frames"],
             "http_rtf_median": round(
                 sorted(audio_s / t for t in times_http)

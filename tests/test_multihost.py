@@ -1,0 +1,150 @@
+"""Real multi-process SPMD: two OS processes, one global mesh.
+
+The reference has no distributed code at all (SURVEY.md §2.3).  This test
+launches TWO separate Python processes (4 virtual CPU devices each) joined
+through ``jax.distributed`` + a local coordinator — actual cross-process
+collectives over Gloo, not the in-process 8-device simulation the rest of
+the suite uses — and asserts a data-parallel train step over the global
+8-device mesh produces the same loss as the single-process step on the
+same global batch (each process feeds only ITS row shard through
+``shard_batch``'s ``make_array_from_process_local_data`` branch, which no
+single-process test can ever execute)."""
+
+import json
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+WORKER = r"""
+import json, os, sys
+sys.path.insert(0, os.getcwd())  # launched with cwd = repo root
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+from aptai_tpu.parallel import init_distributed, is_primary
+assert init_distributed(f"127.0.0.1:{port}", nproc, pid)
+assert jax.process_count() == nproc
+assert jax.device_count() == nproc * 4
+assert is_primary() == (pid == 0)
+
+import numpy as np
+import jax.numpy as jnp
+import optax
+from aptai_tpu.models import W2V2PR, tiny_config
+from aptai_tpu.parallel import make_mesh, shard_batch, shard_tree
+from aptai_tpu.train.harness import create_train_state, make_train_step
+from aptai_tpu.train.train_pr import pr_loss_fn
+
+model = W2V2PR(tiny_config())
+rng = np.random.default_rng(0)
+B = 8
+batch_global = {
+    "audio": rng.standard_normal((B, 3200)).astype(np.float32) * 0.1,
+    "audio_lengths": np.full((B,), 3200, np.int32),
+    "phoneme_labels": rng.integers(1, 10, (B, 5)).astype(np.int32),
+}
+lo, hi = pid * (B // nproc), (pid + 1) * (B // nproc)
+batch_local = {k: v[lo:hi] for k, v in batch_global.items()}
+
+variables = model.init(jax.random.PRNGKey(0),
+                       jnp.zeros((1, 3200), jnp.float32),
+                       jnp.full((1,), 3200, jnp.int32),
+                       jnp.zeros((1, 5), jnp.int32))
+optimizer = optax.adam(1e-3)
+step = make_train_step(pr_loss_fn(model), optimizer, mesh := make_mesh())
+with mesh:
+    state = shard_tree(mesh, create_train_state(variables["params"],
+                                                optimizer))
+    sb = shard_batch(mesh, batch_local)
+    state, metrics = step(state, sb, jax.random.PRNGKey(42),
+                          jnp.float32(1e-3))
+    state, metrics = step(state, shard_batch(mesh, batch_local),
+                          jax.random.PRNGKey(42), jnp.float32(1e-3))
+loss = float(np.asarray(metrics["loss"].addressable_shards[0].data))
+probe = state.params["pr_head"]["kernel"]
+checksum = float(np.abs(
+    np.asarray(probe.addressable_shards[0].data)).sum())
+print("RESULT " + json.dumps({"pid": pid, "loss": loss,
+                              "checksum": checksum}), flush=True)
+"""
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_dp_step_matches_single_process(tmp_path):
+    worker = tmp_path / "worker.py"
+    worker.write_text(WORKER)
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(pid), "2", str(port)],
+            cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True)
+        for pid in range(2)
+    ]
+    results = {}
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+        line = [ln for ln in out.splitlines() if ln.startswith("RESULT ")]
+        assert line, f"no RESULT line:\n{out}\n{err[-2000:]}"
+        r = json.loads(line[-1].removeprefix("RESULT "))
+        results[r["pid"]] = r
+
+    # both processes observe the identical replicated loss and params
+    assert results[0]["loss"] == results[1]["loss"]
+    assert results[0]["checksum"] == results[1]["checksum"]
+
+    # single-process reference on the same global batch (this pytest
+    # process already runs the 8-device virtual mesh)
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from aptai_tpu.models import W2V2PR, tiny_config
+    from aptai_tpu.parallel import make_mesh, shard_batch, shard_tree
+    from aptai_tpu.train.harness import create_train_state, make_train_step
+    from aptai_tpu.train.train_pr import pr_loss_fn
+
+    model = W2V2PR(tiny_config())
+    rng = np.random.default_rng(0)
+    B = 8
+    batch = {
+        "audio": rng.standard_normal((B, 3200)).astype(np.float32) * 0.1,
+        "audio_lengths": np.full((B,), 3200, np.int32),
+        "phoneme_labels": rng.integers(1, 10, (B, 5)).astype(np.int32),
+    }
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 3200), jnp.float32),
+                           jnp.full((1,), 3200, jnp.int32),
+                           jnp.zeros((1, 5), jnp.int32))
+    optimizer = optax.adam(1e-3)
+    mesh = make_mesh(data=8, model=1)
+    step = make_train_step(pr_loss_fn(model), optimizer, mesh)
+    with mesh:
+        state = shard_tree(mesh, create_train_state(variables["params"],
+                                                    optimizer))
+        state, metrics = step(state, shard_batch(mesh, batch),
+                              jax.random.PRNGKey(42), jnp.float32(1e-3))
+        state, metrics = step(state, shard_batch(mesh, batch),
+                              jax.random.PRNGKey(42), jnp.float32(1e-3))
+    ref_loss = float(np.asarray(metrics["loss"]))
+
+    # cross-process Gloo all-reduce may order the 8-way sum differently
+    # than the in-process collective — float tolerance, not bit equality
+    np.testing.assert_allclose(results[0]["loss"], ref_loss,
+                               rtol=2e-5, atol=2e-6)

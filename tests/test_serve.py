@@ -19,7 +19,10 @@ from aptai_tpu.infer.server import MicroBatcher
 from aptai_tpu.infer.serve import (
     ServingApp,
     _mulaw_expand_host,
+    decode_binary,
     decode_wire_audio,
+    encode_binary,
+    jsonify,
     make_server,
 )
 from aptai_tpu.models import APTAI, W2V2PR, tiny_config
@@ -191,6 +194,8 @@ def test_pr_family_response_shape():
         app = ServingApp(batcher, "w2v2_pr", vocab=vocab)
         wav = _wav(4800)
         status, payload = app.predict(wav.tobytes(), "", {}, {})
+        payload = jsonify(payload)  # direct calls return arrays; the
+        # transport boundary converts (serve.py _Handler._send)
         assert status == 200
         assert payload["frames"] == int(
             cfg.feat_extract_output_lengths(np.asarray(4800)))
@@ -307,3 +312,70 @@ def test_pr_stream_decodes_long_recording():
         assert all(0.0 <= d <= 7.05 for d in p["phn_seq_dur"])
     finally:
         batcher.stop()
+
+
+def _request_binary(url, body, headers=None):
+    req = urllib.request.Request(url, data=body, headers=headers or {},
+                                 method="POST")
+    with urllib.request.urlopen(req, timeout=120) as r:
+        assert r.headers["Content-Type"] == "application/x-aptai-bin"
+        return r.status, decode_binary(r.read())
+
+
+def test_binary_response_matches_json(aptai_server):
+    """?format=binary ships arrays as raw little-endian buffers; decoded,
+    it equals the JSON payload exactly (same floats, float32 both ways)."""
+    base, _, _ = aptai_server
+    wav = _wav()
+    _, pj = _request(f"{base}/v1/predict", wav.tobytes())
+    status, pb = _request_binary(f"{base}/v1/predict?format=binary",
+                                 wav.tobytes())
+    assert status == 200
+    assert pb["frames"] == pj["frames"]
+    assert set(pb["tvs_pred"]) == set(pj["tvs_pred"])
+    for k in pj["tvs_pred"]:
+        assert pb["tvs_pred"][k].dtype == np.float32
+        np.testing.assert_array_equal(
+            pb["tvs_pred"][k], np.asarray(pj["tvs_pred"][k], np.float32))
+    np.testing.assert_array_equal(pb["phn_fc_pred"],
+                                  np.asarray(pj["phn_fc_pred"]))
+    # header alias + errors stay JSON
+    status, p = _request(f"{base}/v1/predict?format=binary", b"")
+    assert status == 400 and "empty" in p["error"]
+    status, p = _request(f"{base}/v1/predict?format=nope", wav.tobytes())
+    assert status == 400 and "nope" in p["error"]
+
+
+def test_binary_response_on_stream(aptai_server):
+    base, _, _ = aptai_server
+    wav = _wav(16_000 * 8, seed=7)
+    _, pj = _request(f"{base}/v1/stream", wav.tobytes())
+    status, pb = _request_binary(f"{base}/v1/stream", wav.tobytes(),
+                                 headers={"X-Response-Format": "binary"})
+    assert status == 200 and pb["frames"] == pj["frames"]
+    np.testing.assert_array_equal(pb["phn_fc_pred"],
+                                  np.asarray(pj["phn_fc_pred"]))
+    np.testing.assert_array_equal(
+        pb["tvs_pred"]["LA"], np.asarray(pj["tvs_pred"]["LA"], np.float32))
+
+
+def test_binary_codec_roundtrip_unit():
+    payload = {
+        "frames": 7,
+        "tvs_pred": {"LA": np.arange(7, dtype=np.float32),
+                     "LP": np.linspace(-1, 1, 7).astype(np.float32)},
+        "phn_fc_pred": np.asarray([1, 2, 2, 0, 3, 3, 3], np.int32),
+        "ipa": ["a", "b"],
+        "empty": np.zeros((0,), np.float32),
+    }
+    back = decode_binary(encode_binary(payload))
+    assert back["frames"] == 7 and back["ipa"] == ["a", "b"]
+    np.testing.assert_array_equal(back["tvs_pred"]["LA"],
+                                  payload["tvs_pred"]["LA"])
+    np.testing.assert_array_equal(back["tvs_pred"]["LP"],
+                                  payload["tvs_pred"]["LP"])
+    np.testing.assert_array_equal(back["phn_fc_pred"],
+                                  payload["phn_fc_pred"])
+    assert back["empty"].size == 0
+    with pytest.raises(ValueError):
+        decode_binary(b"JSON{}...")
