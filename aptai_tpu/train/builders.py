@@ -23,6 +23,20 @@ from aptai_tpu.models import (
 from aptai_tpu.train.checkpoints import load_json, load_pytree
 
 
+def resolve_dtype(dtype: str) -> str:
+    """``"auto"`` → bfloat16 on TPU, float32 elsewhere.
+
+    The compute dtype is independent of parameter/optimizer storage (Flax
+    params and Adam moments stay float32 — standard TPU mixed precision),
+    so ``auto`` gives the trainer CLIs the same bf16 MXU path every
+    benchmark measures (benchmarks/PERF.md); ``--dtype float32`` restores
+    the reference's full-precision numerics (reference trains f32 on GPU,
+    SURVEY.md §2.2)."""
+    if dtype and dtype != "auto":
+        return dtype
+    return "bfloat16" if jax.default_backend() == "tpu" else "float32"
+
+
 def make_backbone_config(cfg_train, vocab_size: int) -> Wav2Vec2Config:
     """HF-config-dict + overrides, the reference's recipe
     (train/train_phoneme_recognizer.py:336-347)."""
@@ -30,7 +44,7 @@ def make_backbone_config(cfg_train, vocab_size: int) -> Wav2Vec2Config:
         vocab_size=vocab_size,
         final_dropout=cfg_train.final_dropout,
         num_hidden_layers=cfg_train.num_hidden_layers,
-        dtype=getattr(cfg_train, "dtype", "float32"),
+        dtype=resolve_dtype(getattr(cfg_train, "dtype", "float32")),
         remat_policy=getattr(cfg_train, "remat_policy", "none"),
     )
     if getattr(cfg_train, "ten_ms", False):
@@ -124,6 +138,11 @@ def build_force_model(cfg_train, vocab: Dict[str, int],
             k: tuple(v) if isinstance(v, list) else v
             for k, v in pr_cfg["backbone"].items()
         })
+        # compute dtype is run-local, not a checkpoint property (params
+        # are stored f32 either way) — resolve it for THIS run's backend
+        backbone = dataclasses.replace(
+            backbone,
+            dtype=resolve_dtype(getattr(cfg_train, "dtype", "auto")))
     model = ForceAPTAI(
         backbone, vocab_size=len(vocab),
         decode_method=getattr(cfg_train, "decode_method", "greedy"),

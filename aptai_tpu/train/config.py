@@ -66,7 +66,11 @@ class TrainConfig:
     huggingface_model_id: str = "facebook/wav2vec2-large-xlsr-53"
     pretrained_checkpoint: Optional[str] = None  # torch .bin to convert
     freeze_feature_extractor: bool = False
-    dtype: str = "float32"
+    # compute dtype (params/optimizer stay float32): "auto" = bfloat16 on
+    # TPU — the MXU's native mode and what every benchmark measures —
+    # float32 elsewhere; "--dtype float32" restores reference-exact
+    # full-precision numerics (train/builders.py::resolve_dtype)
+    dtype: str = "auto"
 
     # parallelism (new first-class scope; reference is single-device)
     mesh_data: int = -1

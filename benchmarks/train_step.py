@@ -22,6 +22,10 @@ def main():
     ap.add_argument("--configs", default=None,
                     help="comma list of BxS (batch x seconds), e.g. "
                          "'8x5,32x5'; default: blessed shape only")
+    ap.add_argument("--dtype", default=None,
+                    help="compute dtype override (default: bfloat16 on "
+                         "TPU, float32 on CPU — what the trainer's "
+                         "dtype='auto' resolves to)")
     ap.add_argument("--rng_impl", default="rbg",
                     help="PRNG for dropout/SpecAugment masks; 'rbg' is the "
                          "trainer default (train/config.py), 'threefry' "
@@ -43,7 +47,8 @@ def main():
     from aptai_tpu.train import create_train_state, make_train_step, torch_adam
 
     backend = jax.default_backend()
-    cfg = Wav2Vec2Config(dtype="bfloat16" if backend == "tpu" else "float32")
+    cfg = Wav2Vec2Config(dtype=args.dtype or (
+        "bfloat16" if backend == "tpu" else "float32"))
     model = APTAI(cfg, num_phonemes=46)
     configs = [(8, 5)] if backend == "tpu" else [(2, 1)]
     if args.configs:
@@ -103,6 +108,7 @@ def main():
         print(json.dumps({
             "metric": "aptai_train_step",
             "batch": batch,
+            "dtype": cfg.dtype,
             "audio_seconds_per_item": seconds,
             "value": round(batch * seconds / dt, 2),
             "unit": "audio_sec/sec/chip",

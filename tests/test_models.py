@@ -449,3 +449,25 @@ def test_stack_tile_padding_matches_unpadded():
             np.asarray(base[k], np.float32), np.asarray(padded[k],
                                                         np.float32),
             rtol=0, atol=1e-5, err_msg=k)
+
+
+def test_trainer_dtype_auto_resolves_by_backend():
+    """dtype='auto' (the trainer default) resolves to the backend's
+    native compute dtype — float32 on this CPU suite, bfloat16 on TPU —
+    while explicit values pass through (train/builders.py)."""
+    from aptai_tpu.train.builders import make_backbone_config, resolve_dtype
+
+    assert resolve_dtype("auto") == "float32"  # suite runs on CPU
+    assert resolve_dtype("bfloat16") == "bfloat16"
+    assert resolve_dtype("float32") == "float32"
+
+    class _Cfg:
+        final_dropout = 0.0
+        num_hidden_layers = 2
+        dtype = "auto"
+        remat_policy = "none"
+        ten_ms = False
+
+    assert make_backbone_config(_Cfg(), 11).dtype == "float32"
+    _Cfg.dtype = "bfloat16"
+    assert make_backbone_config(_Cfg(), 11).dtype == "bfloat16"
