@@ -12,11 +12,15 @@ Pipeline (reference force_aptai.py:80-178):
 TPU-native deviation (deliberate; SURVEY.md §7.3 item 1): the reference runs
 a *CPU beam-search decode inside every training step*
 (w2v2_pr.py:144-155 via force_aptai.py:97) — a device→host→device round trip.
-Here the training-time decode is the batched on-device greedy collapse
-(:func:`aptai_tpu.ops.ctc.greedy_decode`), keeping the whole step inside one
-XLA program; beam search remains available for evaluation/inference through
-:mod:`aptai_tpu.decode`.  The decoded ids feed the same embedding/attention
-path, padded to the fixed max length 60 with pad id 0 (force_aptai.py:109-115).
+Here the training-time decode default is the batched on-device greedy
+collapse (:func:`aptai_tpu.ops.ctc.greedy_decode`), keeping the whole step
+inside one XLA program; ``decode_method='beam_device'`` keeps the same
+one-program property with the reference's TRUE beam semantics (the batched
+on-device prefix search, :func:`aptai_tpu.decode.device.beam_decode_device` —
+identical sequences to the host search); the host beam remains available
+through :mod:`aptai_tpu.decode`.  The decoded ids feed the same
+embedding/attention path, padded to the fixed max length 60 with pad id 0
+(force_aptai.py:109-115).
 
 The frozen recognizer runs with ``stop_gradient`` and dropout disabled —
 matching the reference, where ``get_embeddings`` flips the module to eval
@@ -89,10 +93,13 @@ class ForceAPTAI(nn.Module):
     lowpass_cutoff_hz: float = 10.0
     frame_rate_hz: float = float(FRAME_RATE_HZ)
     # in-step CTC decode: "greedy" = batched on-device collapse (the
-    # TPU-native default); "beam_host" = the reference's exact behavior — a
-    # host beam search round-trip inside the step (w2v2_pr.py:144-155 via
-    # force_aptai.py:97), kept for the greedy-vs-beam quality comparison
-    # (SURVEY.md §7.3 item 1; benchmarks/greedy_vs_beam.py)
+    # TPU-native default); "beam_device" = TRUE prefix beam search on device
+    # (decode/device.py) — the reference's beam semantics with no host round
+    # trip, safe under jit and threads; "beam_host" = the reference's exact
+    # mechanism — a host beam search round-trip inside the step
+    # (w2v2_pr.py:144-155 via force_aptai.py:97), kept for the
+    # greedy-vs-beam quality comparison (SURVEY.md §7.3 item 1;
+    # benchmarks/greedy_vs_beam.py)
     decode_method: str = "greedy"
 
     def setup(self):
@@ -163,6 +170,13 @@ class ForceAPTAI(nn.Module):
             phn_pred_seq, phn_seq_lengths, phn_seq_truncated = (
                 _host_beam_decode(enc["logits"], frame_lengths,
                                   self.max_phn_seq_len)
+            )
+        elif self.decode_method == "beam_device":
+            from aptai_tpu.decode.device import beam_decode_device
+
+            phn_pred_seq, phn_seq_lengths, phn_seq_truncated = (
+                beam_decode_device(enc["ctc_log_probs"], frame_lengths,
+                                   max_output_length=self.max_phn_seq_len)
             )
         else:
             phn_pred_seq, phn_seq_lengths, phn_seq_truncated = greedy_decode(

@@ -158,11 +158,14 @@ class PRConfig(TrainConfig):
     hprc_csv_path: str = "data/HPRC_prep/hprc.csv"
     cropping: bool = False
     samples_per_epoch: int = 2000
-    # per-epoch validation decode: "greedy" keeps the epoch loop free of the
-    # serial host beam search (final test always beam-decodes, preserving
-    # the reference's reported-PER protocol); "beam" restores the
-    # reference's in-loop behavior (train_phoneme_recognizer.py:520-542)
-    val_decode: str = "greedy"
+    # per-epoch validation decode.  Default "beam_device": the reference's
+    # beam-PER validation protocol (train_phoneme_recognizer.py:520-542)
+    # with the search batched on device (decode/device.py) — beam quality
+    # at near-greedy epoch cost (41× the host search, PERF.md).  "beam"
+    # is the host-search mechanism (C++/Python, utterance-serial);
+    # "greedy" is the cheapest loop (final test always beam-decodes
+    # either way, preserving the reported-PER protocol).
+    val_decode: str = "beam_device"
 
 
 @dataclasses.dataclass
@@ -192,7 +195,9 @@ class ForceAPTAIConfig(TrainConfig):
     num_epochs: int = 60
     learning_rate: float = 1e-5
     batch_size: int = 5
-    # in-step CTC decode: "greedy" (on-device, the TPU default) or
+    # in-step CTC decode: "greedy" (on-device collapse, the TPU default),
+    # "beam_device" (TRUE prefix beam search on device — the reference's
+    # beam semantics with no host round trip, decode/device.py), or
     # "beam_host" (the reference's host beam round-trip per step,
     # models/force_aptai.py:97 — kept for quality comparison)
     decode_method: str = "greedy"

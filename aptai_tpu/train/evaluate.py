@@ -53,13 +53,33 @@ def decode_greedy(log_probs: np.ndarray, blank: int = 0):
     return collapsed[collapsed != blank].tolist()
 
 
+_BEAM_DEVICE_JIT = None
+
+
+def _device_beam_batch(log_probs, frame_lengths):
+    """Jitted batched beam decode for validation: the whole batch's search
+    runs on device in one program instead of utterance-serial on the host
+    (identical sequences — decode/device.py; tests/test_device_beam.py).
+    One shared jit wrapper so each batch shape compiles once."""
+    global _BEAM_DEVICE_JIT
+    if _BEAM_DEVICE_JIT is None:
+        import jax
+
+        from aptai_tpu.decode.device import beam_decode_device
+
+        _BEAM_DEVICE_JIT = jax.jit(beam_decode_device)
+    seqs, lens, _ = _BEAM_DEVICE_JIT(log_probs, frame_lengths)
+    return np.asarray(seqs), np.asarray(lens)
+
+
 def validate_pr(
     forward_fn: Callable,
     batches: Iterable[Dict[str, np.ndarray]],
     max_batches: int | None = None,
     decode: str = "beam",
 ) -> Dict[str, float]:
-    """PR validation: mean CTC loss + corpus PER via beam (or greedy) decode.
+    """PR validation: mean CTC loss + corpus PER via beam decode — host
+    (``"beam"``) or batched on-device (``"beam_device"``) — or host greedy.
 
     ``forward_fn(batch) -> {loss, log_probs, frame_lengths}`` (jitted apply).
     """
@@ -70,6 +90,9 @@ def validate_pr(
             break
         out = forward_fn(batch)
         losses.append(float(out["loss"]))
+        if decode == "beam_device":
+            seqs, seq_lens = _device_beam_batch(out["log_probs"],
+                                                out["frame_lengths"])
         log_probs = np.asarray(out["log_probs"])
         frame_lengths = np.asarray(out["frame_lengths"])
         mask = batch.get("batch_pad_mask",
@@ -79,9 +102,12 @@ def validate_pr(
                 continue
             labels = batch["phoneme_labels"][b]
             gt = labels[labels >= 0].tolist()
-            lp = log_probs[b, : frame_lengths[b]]
-            pred = (decode_greedy(lp) if decode == "greedy"
-                    else decode_best(lp))
+            if decode == "beam_device":
+                pred = seqs[b, : seq_lens[b]].tolist()
+            else:
+                lp = log_probs[b, : frame_lengths[b]]
+                pred = (decode_greedy(lp) if decode == "greedy"
+                        else decode_best(lp))
             per.update(gt, pred)
     return {
         "mean_val_per": per.per,

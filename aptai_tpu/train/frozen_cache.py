@@ -46,15 +46,27 @@ from aptai_tpu.ops.ctc import greedy_decode
 
 @functools.lru_cache(maxsize=None)
 def _cache_encode_fn(model):
-    """Jitted frozen-tower encode (+ on-device greedy decode when the model
-    decodes greedily) for the one-time cache pass."""
-    greedy = model.decode_method != "beam_host"
+    """Jitted frozen-tower encode (+ the model's on-device decode — greedy
+    collapse or device beam search — when it has one) for the one-time
+    cache pass; beam_host defers to the host search outside the jit."""
+    method = model.decode_method
 
     def fn(p, a, l):
         enc = model.apply({"params": p}, a, l, method="encode_frozen")
         out = {"frame_embs": enc["frame_embs"],
                "frame_lengths": enc["frame_lengths"]}
-        if greedy:
+        if method == "beam_host":
+            out["ctc_log_probs"] = enc["ctc_log_probs"]
+        elif method == "beam_device":
+            from aptai_tpu.decode.device import beam_decode_device
+
+            seqs, sl, tr = beam_decode_device(
+                enc["ctc_log_probs"], enc["frame_lengths"], blank=0,
+                max_output_length=model.max_phn_seq_len,
+            )
+            out.update(phn_pred_seq=seqs, phn_seq_lengths=sl,
+                       phn_seq_truncated=tr)
+        else:
             seqs, sl, tr = greedy_decode(
                 enc["logits"], enc["frame_lengths"], blank=0,
                 max_output_length=model.max_phn_seq_len,
@@ -62,8 +74,6 @@ def _cache_encode_fn(model):
             )
             out.update(phn_pred_seq=seqs, phn_seq_lengths=sl,
                        phn_seq_truncated=tr)
-        else:
-            out["ctc_log_probs"] = enc["ctc_log_probs"]
         return out
 
     return jax.jit(fn)

@@ -362,7 +362,7 @@ def run_speaker(cfg, hprc_df, vocab, test_spk, model, params, model_cfg,
                 if allow_fallback and cfg.collapse_fallback:
                     tail = ", falling back to decode_method=beam_host"
                 elif already_beam:
-                    tail = ("; beam_host decode is ALREADY active, so the "
+                    tail = ("; beam decode is ALREADY active, so the "
                             "stage-1 PR checkpoint itself is likely "
                             "degenerate — retrain or re-point "
                             "--pr_model_path")
@@ -403,7 +403,9 @@ def run_speaker(cfg, hprc_df, vocab, test_spk, model, params, model_cfg,
                        run_name=f"{cfg.prefix}_{test_spk}",
                        use_wandb=cfg.logging)
     fell_back = False
-    can_fall_back = (model.decode_method != "beam_host"
+    # only the greedy decode has a beam to fall back TO — both beam modes
+    # already decode with the reference's beam semantics
+    can_fall_back = (model.decode_method == "greedy"
                      and get_beam_setup is not None)
     if cfg.cache_frozen_encodings:
         val_fwd, val_dl = make_encoded_eval_forward(model), encoded_val_dl(
@@ -414,7 +416,7 @@ def run_speaker(cfg, hprc_df, vocab, test_spk, model, params, model_cfg,
         final_params, history = fit(
             cfg, None, fit_params, train_dl,
             make_validate(val_fwd, val_dl, can_fall_back,
-                          already_beam=model.decode_method == "beam_host"),
+                          already_beam=model.decode_method != "greedy"),
             ckpt, model_cfg=model_cfg, logger=logger, engine=engine,
         )
     except _DecodeCollapse:
