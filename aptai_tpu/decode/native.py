@@ -58,6 +58,14 @@ def native_available() -> bool:
     return _load() is not None
 
 
+def load_library() -> Optional[ctypes.CDLL]:
+    """The shared ``libaptai_native.so`` handle (building it on demand), or
+    None without a toolchain.  Other modules binding additional entry
+    points (e.g. the HTTP front end, infer/native_transport.py) attach
+    their own argtypes to this same CDLL."""
+    return _load()
+
+
 def _edit_distance_py(a: Sequence[int], b: Sequence[int]) -> int:
     """Vectorized NumPy Levenshtein (fallback for the C++ path)."""
     a = list(a)

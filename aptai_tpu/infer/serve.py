@@ -353,6 +353,59 @@ class ServingApp:
                     stream_wall_seconds_total=wall)
         return status, payload
 
+    # -- transport-independent routing ------------------------------------
+
+    def _encode(self, status: int, payload: Dict,
+                fmt: str) -> Tuple[int, bytes, str]:
+        """Payload → (status, body bytes, content type).  Errors are always
+        JSON, whatever the requested format."""
+        if fmt == "binary" and status == 200:
+            return status, encode_binary(payload), "application/x-aptai-bin"
+        return (status, json.dumps(jsonify(payload)).encode(),
+                "application/json")
+
+    def handle(self, method: str, target: str, headers,
+               body: bytes) -> Tuple[int, bytes, str]:
+        """One HTTP request → encoded response, independent of the socket
+        layer.  Both transports route through here: the stdlib
+        ``http.server`` handler below and the native (C++ epoll) front
+        end's slow path (``infer/native_transport.py`` — its fast path
+        pre-decodes /v1/predict audio in C++ and re-joins at
+        :meth:`predict`'s formatting stage).  ``headers`` is any
+        case-insensitive mapping with ``.get``."""
+        parsed = urlparse(target)
+        path = parsed.path
+        query = parse_qs(parsed.query)
+        if method == "GET":
+            if path == "/healthz":
+                status, payload = self.health()
+            elif path == "/metrics":
+                status, payload = self.metrics()
+            else:
+                status, payload = 404, {
+                    "error": "unknown path; GET /healthz|/metrics "
+                             "or POST /v1/predict|/v1/stream"}
+            return self._encode(status, payload, "json")
+        if method != "POST":
+            return self._encode(
+                405, {"error": f"method {method} not allowed"}, "json")
+        handler = {"/v1/predict": self.predict,
+                   "/v1/stream": self.stream}.get(path)
+        if handler is None:
+            return self._encode(
+                404,
+                {"error": "unknown path; POST /v1/predict or /v1/stream"},
+                "json")
+        fmt = (query.get("format")
+               or [headers.get("X-Response-Format", "json")])[-1]
+        if fmt not in ("json", "binary"):
+            return self._encode(
+                400, {"error": f"unknown response format {fmt!r}; "
+                               "expected 'json' or 'binary'"}, "json")
+        status, payload = handler(
+            body, headers.get("Content-Type", ""), headers, query)
+        return self._encode(status, payload, fmt)
+
     def _filter_fields(self, payload: Dict,
                        query: Dict) -> Tuple[int, Dict]:
         fields = query.get("fields")
@@ -471,14 +524,13 @@ class _Handler(BaseHTTPRequestHandler):
     def log_message(self, *args):  # pragma: no cover
         pass
 
-    def _send(self, status: int, payload: Dict,
-              binary: bool = False) -> None:
-        if binary and status == 200:
-            data = encode_binary(payload)
-            ctype = "application/x-aptai-bin"
-        else:  # errors are always JSON, whatever the requested format
-            data = json.dumps(jsonify(payload)).encode()
-            ctype = "application/json"
+    def _dispatch(self, method: str) -> None:
+        body = b""
+        if method == "POST":
+            body = self.rfile.read(
+                int(self.headers.get("Content-Length", 0)))
+        status, data, ctype = self.app.handle(
+            method, self.path, self.headers, body)
         self.send_response(status)
         self.send_header("Content-Type", ctype)
         self.send_header("Content-Length", str(len(data)))
@@ -486,35 +538,10 @@ class _Handler(BaseHTTPRequestHandler):
         self.wfile.write(data)
 
     def do_GET(self):
-        path = urlparse(self.path).path
-        if path == "/healthz":
-            self._send(*self.app.health())
-        elif path == "/metrics":
-            self._send(*self.app.metrics())
-        else:
-            self._send(404, {"error": "unknown path; GET /healthz|/metrics "
-                                      "or POST /v1/predict|/v1/stream"})
+        self._dispatch("GET")
 
     def do_POST(self):
-        parsed = urlparse(self.path)
-        handler = {"/v1/predict": self.app.predict,
-                   "/v1/stream": self.app.stream}.get(parsed.path)
-        if handler is None:
-            self._send(404, {"error":
-                             "unknown path; POST /v1/predict or /v1/stream"})
-            return
-        query = parse_qs(parsed.query)
-        fmt = (query.get("format")
-               or [self.headers.get("X-Response-Format", "json")])[-1]
-        if fmt not in ("json", "binary"):
-            self._send(400, {"error": f"unknown response format {fmt!r}; "
-                                      "expected 'json' or 'binary'"})
-            return
-        body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
-        status, payload = handler(
-            body, self.headers.get("Content-Type", ""), self.headers, query,
-        )
-        self._send(status, payload, binary=fmt == "binary")
+        self._dispatch("POST")
 
 
 def make_server(app: ServingApp, host: str = "127.0.0.1",
@@ -626,6 +653,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "more throughput, longer per-group latency)")
     p.add_argument("--max_stream_seconds", type=float, default=7200.0,
                    help="reject /v1/stream requests longer than this")
+    p.add_argument("--transport", default="auto",
+                   choices=("auto", "python", "native"),
+                   help="HTTP front end: 'native' = C++ epoll transport "
+                        "(native/http_server.cpp — socket I/O, parsing and "
+                        "wire decode off the GIL; the serving-throughput "
+                        "path), 'python' = stdlib http.server, 'auto' = "
+                        "native when the library builds, else python")
     p.add_argument("--cpu", action="store_true",
                    help="force CPU (debugging; TPU is the default backend)")
     return p
@@ -651,22 +685,38 @@ def main(argv=None) -> int:
         overlap_seconds=args.overlap_seconds, chunk_batch=args.chunk_batch,
         max_stream_seconds=args.max_stream_seconds,
     )
-    server = make_server(app, args.host, args.port)
+    transport = args.transport
+    if transport == "auto":
+        from aptai_tpu.infer.native_transport import (
+            native_transport_available)
+
+        transport = ("native" if native_transport_available() else "python")
+    if transport == "native":
+        from aptai_tpu.infer.native_transport import make_native_server
+
+        server = make_native_server(app, args.host, args.port)
+    else:
+        server = make_server(app, args.host, args.port)
 
     def _shutdown(signum, frame):  # pragma: no cover
         print(f"received {signal.Signals(signum).name}: draining",
               file=sys.stderr)
         threading.Thread(target=server.shutdown, daemon=True).start()
+        stop_evt.set()
 
+    stop_evt = threading.Event()
     signal.signal(signal.SIGTERM, _shutdown)
     signal.signal(signal.SIGINT, _shutdown)
     print(f"aptai-serve: {app.kind} on "
           f"http://{server.server_address[0]}:{server.server_address[1]} "
-          f"(batch {args.max_batch_size}, fields "
+          f"({transport} transport, batch {args.max_batch_size}, fields "
           f"{list(app.batcher.fields or ())}, streaming "
           f"{'on' if app.streamer is not None else 'off'})")
     try:
-        server.serve_forever()
+        if transport == "native":
+            stop_evt.wait()  # C++ I/O thread serves; block until signaled
+        else:
+            server.serve_forever()
     finally:
         app.batcher.stop()
     return 0

@@ -51,6 +51,10 @@ def main():
                     choices=["json", "binary"],
                     help="HTTP response encoding (binary = packed "
                          "little-endian arrays, serve.py encode_binary)")
+    ap.add_argument("--transport", default="python",
+                    choices=["python", "native"],
+                    help="HTTP front end: stdlib http.server vs the C++ "
+                         "epoll transport (native/http_server.cpp)")
     args = ap.parse_args()
 
     sys.path.insert(0, ".")
@@ -145,8 +149,13 @@ def main():
         mb.warmup(seconds=req_seconds)
         mb.start()
         app = ServingApp(mb, "aptai")
-        srv = make_server(app, "127.0.0.1", 0)
-        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        if args.transport == "native":
+            from aptai_tpu.infer.native_transport import make_native_server
+
+            srv = make_native_server(app, "127.0.0.1", 0)
+        else:
+            srv = make_server(app, "127.0.0.1", 0)
+            threading.Thread(target=srv.serve_forever, daemon=True).start()
         port = srv.server_address[1]
         path = ("/v1/predict?fields=tvs_pred,phn_fc_pred"
                 + ("&format=binary" if args.response_format == "binary"
@@ -185,6 +194,7 @@ def main():
         mb.stop()
         print(json.dumps({
             "metric": "http_serving",
+            "transport": args.transport,
             "requests": n_requests,
             "clients": args.http_clients,
             "wire_encoding": wire,
@@ -220,8 +230,13 @@ def main():
         mb.start()
         app = ServingApp(mb, "aptai", streamer=streamer,
                          max_stream_seconds=7200.0)
-        srv = make_server(app, "127.0.0.1", 0)
-        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        if args.transport == "native":
+            from aptai_tpu.infer.native_transport import make_native_server
+
+            srv = make_native_server(app, "127.0.0.1", 0)
+        else:
+            srv = make_server(app, "127.0.0.1", 0)
+            threading.Thread(target=srv.serve_forever, daemon=True).start()
         wav = (rng.standard_normal(int(16000 * 60 * minutes))
                * 0.1).astype(np.float32)
         streamer.predict(wav[: streamer.chunk + streamer.hop])  # compile
@@ -253,6 +268,7 @@ def main():
         audio_s = len(wav) / 16000
         print(json.dumps({
             "metric": "http_streaming",
+            "transport": args.transport,
             "audio_minutes": minutes,
             "chunk_batch": args.chunk_batch,
             "wire_encoding": wire,
