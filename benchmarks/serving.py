@@ -55,6 +55,9 @@ def main():
                     choices=["python", "native"],
                     help="HTTP front end: stdlib http.server vs the C++ "
                          "epoll transport (native/http_server.cpp)")
+    ap.add_argument("--n_requests", type=int, default=0,
+                    help="override the request count (0 = 64 on TPU) — "
+                         "larger runs amortize ramp for throughput numbers")
     args = ap.parse_args()
 
     sys.path.insert(0, ".")
@@ -74,6 +77,8 @@ def main():
         n_requests, req_seconds, stream_minutes = 64, 2, 10
     else:
         n_requests, req_seconds, stream_minutes = 4, 1, 0.2
+    if args.n_requests:
+        n_requests = args.n_requests
 
     import jax.numpy as jnp
 
