@@ -45,6 +45,9 @@ from aptai_tpu.decode.native import load_library
 
 SAMPLE_RATE = 16_000
 _QUERY_CAP = 512
+# slow-lane target/header buffer size: the C++ parser rejects (431) header
+# blocks over 64 KiB, so this bound is authoritative, not heuristic
+_SLOW_BUF_CAP = 65536 + 16
 
 
 def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
@@ -139,12 +142,21 @@ class NativeHTTPServer:
         self._stop = threading.Event()
         self._threads: List[threading.Thread] = []
         self._pool: Optional[ThreadPoolExecutor] = None
+        self._stream_pool: Optional[ThreadPoolExecutor] = None
 
     # -- lifecycle ---------------------------------------------------------
 
     def start(self) -> "NativeHTTPServer":
         self._pool = ThreadPoolExecutor(
             max(int(self.batcher.fetch_workers), 1))
+        # /v1/stream runs for the recording's wall clock (serialized on
+        # app._stream_lock); handled inline it would pin a slow worker and —
+        # with a second stream blocked on the lock — starve /healthz and
+        # /metrics for minutes.  A dedicated 1-thread pool keeps the slow
+        # workers free (queued streams serialize here, same semantics as
+        # the lock).
+        self._stream_pool = ThreadPoolExecutor(
+            1, thread_name_prefix="aptai-native-stream")
         t = threading.Thread(target=self._fast_loop, daemon=True,
                              name="aptai-native-fast")
         t.start()
@@ -166,6 +178,9 @@ class NativeHTTPServer:
         if self._pool is not None:
             self._pool.shutdown(wait=True)
             self._pool = None
+        if self._stream_pool is not None:
+            self._stream_pool.shutdown(wait=True)
+            self._stream_pool = None
 
     stop = shutdown
 
@@ -199,19 +214,45 @@ class NativeHTTPServer:
             if n == 0:
                 continue
             raw_q = self._queries.raw
+            timeout_s = float(app.request_timeout_s or 0)
+            now = time.monotonic()
             metas = []
             wavs = []
             for i in range(n):
-                q = raw_q[i * _QUERY_CAP:(i + 1) * _QUERY_CAP]
-                metas.append((int(self._ids[i]), int(self._recv_us[i]),
-                              q.split(b"\0", 1)[0].decode("utf-8",
-                                                          "replace")))
+                rid = int(self._ids[i])
+                recv_us = int(self._recv_us[i])
+                raw = raw_q[i * _QUERY_CAP:(i + 1) * _QUERY_CAP]
+                query = raw.split(b"\0", 1)[0].decode("utf-8", "replace")
+                # load shedding: the Python transport 503s a request whose
+                # future exceeds request_timeout_s; here requests age in the
+                # C++ intake queue instead, so enforce the same contract on
+                # queue wait before spending device time on them
+                if timeout_s > 0 and now - recv_us / 1e6 > timeout_s:
+                    app._count(503)
+                    self._respond_error(
+                        rid, 503, f"timed out after {timeout_s:.0f} s "
+                                  "(server overloaded?)")
+                    continue
+                q = parse_qs(query)
+                fmt = (q.get("format") or ["json"])[-1]
+                if fmt not in ("json", "binary"):
+                    # same pre-compute rejection + counting as
+                    # ServingApp.handle (no audio_seconds for a request
+                    # that served none)
+                    app._count(400)
+                    self._respond_error(
+                        rid, 400, f"unknown response format {fmt!r}; "
+                                  "expected 'json' or 'binary'")
+                    continue
+                metas.append((rid, recv_us, q, fmt))
                 # the intake buffer is reused by the next next_batch call
                 wavs.append(self._audio[i, :int(self._lengths[i])].copy())
+            if not wavs:
+                continue
             try:
                 n_wavs, out = self.batcher._dispatch(wavs)
             except Exception as e:  # pragma: no cover - device failure
-                for rid, _, _ in metas:
+                for rid, _, _, _ in metas:
                     app._count(500)
                     self._respond_error(rid, 500,
                                         f"{type(e).__name__}: {e}")
@@ -219,30 +260,22 @@ class NativeHTTPServer:
             self._pool.submit(self._resolve, metas,
                               [len(w) for w in wavs], n_wavs, out)
 
-    def _resolve(self, metas: Sequence[Tuple[int, int, str]],
+    def _resolve(self, metas: Sequence[Tuple[int, int, Dict, str]],
                  wav_lens: Sequence[int], n_wavs: int, out: Dict) -> None:
         app = self.app
         try:
             items = self.batcher._split(n_wavs, out)
         except Exception as e:  # pragma: no cover - fetch failure
-            for rid, _, _ in metas:
+            for rid, _, _, _ in metas:
                 app._count(500)
                 self._respond_error(rid, 500, f"{type(e).__name__}: {e}")
             return
-        for (rid, recv_us, query), wav_len, item in zip(metas, wav_lens,
-                                                        items):
+        for (rid, recv_us, q, fmt), wav_len, item in zip(metas, wav_lens,
+                                                         items):
             try:
-                q = parse_qs(query)
-                fmt = (q.get("format") or ["json"])[-1]
-                if fmt not in ("json", "binary"):
-                    status, data, ctype = app._encode(
-                        400, {"error": f"unknown response format {fmt!r}; "
-                                       "expected 'json' or 'binary'"},
-                        "json")
-                else:
-                    payload = app._format(item, wav_len)
-                    status, payload = app._filter_fields(payload, q)
-                    status, data, ctype = app._encode(status, payload, fmt)
+                payload = app._format(item, wav_len)
+                status, payload = app._filter_fields(payload, q)
+                status, data, ctype = app._encode(status, payload, fmt)
             except Exception as e:  # pragma: no cover - formatting bug
                 status, data, ctype = app._encode(
                     500, {"error": f"{type(e).__name__}: {e}"}, "json")
@@ -261,16 +294,20 @@ class NativeHTTPServer:
     # -- slow lane: everything else -------------------------------------------
 
     def _slow_loop(self) -> None:
-        lib, app = self._lib, self.app
+        lib = self._lib
         rid = ctypes.c_uint64()
         body_len = ctypes.c_int64()
+        # sized to the C++ protocol maxima (parse_conn 431s header blocks —
+        # request line included — over 64 KiB) so `put` can never silently
+        # truncate a header or query string
         method = ctypes.create_string_buffer(16)
-        target = ctypes.create_string_buffer(4096)
-        headers = ctypes.create_string_buffer(32768)
+        target = ctypes.create_string_buffer(_SLOW_BUF_CAP)
+        headers = ctypes.create_string_buffer(_SLOW_BUF_CAP)
         while not self._stop.is_set():
             r = lib.aptai_http_next_slow(
-                self._h, 200, ctypes.byref(rid), method, 16, target, 4096,
-                headers, 32768, ctypes.byref(body_len))
+                self._h, 200, ctypes.byref(rid), method, 16,
+                target, _SLOW_BUF_CAP, headers, _SLOW_BUF_CAP,
+                ctypes.byref(body_len))
             if r < 0:
                 break
             if r == 0:
@@ -285,16 +322,28 @@ class NativeHTTPServer:
                     buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                     nbody)
                 body = buf[:max(int(got), 0)].tobytes()
-            try:
-                hdr_map = _HeaderParser().parsestr(
-                    headers.value.decode("latin-1"))
-                status, data, ctype = app.handle(
-                    method.value.decode("latin-1"),
-                    target.value.decode("latin-1"), hdr_map, body)
-            except Exception as e:  # pragma: no cover - handler bug
-                status, data, ctype = app._encode(
-                    500, {"error": f"{type(e).__name__}: {e}"}, "json")
-            self._respond(req_id, status, ctype, data)
+            method_s = method.value.decode("latin-1")
+            target_s = target.value.decode("latin-1")
+            headers_s = headers.value.decode("latin-1")
+            if method_s == "POST" and target_s.split("?", 1)[0] == "/v1/stream":
+                # long-running: hand off so this worker stays responsive
+                self._stream_pool.submit(
+                    self._handle_slow, req_id, method_s, target_s,
+                    headers_s, body)
+            else:
+                self._handle_slow(req_id, method_s, target_s, headers_s,
+                                  body)
+
+    def _handle_slow(self, req_id: int, method: str, target: str,
+                     headers_raw: str, body: bytes) -> None:
+        app = self.app
+        try:
+            hdr_map = _HeaderParser().parsestr(headers_raw)
+            status, data, ctype = app.handle(method, target, hdr_map, body)
+        except Exception as e:  # pragma: no cover - handler bug
+            status, data, ctype = app._encode(
+                500, {"error": f"{type(e).__name__}: {e}"}, "json")
+        self._respond(req_id, status, ctype, data)
 
 
 def make_native_server(app, host: str = "127.0.0.1",

@@ -214,7 +214,8 @@ class ServingApp:
     def __init__(self, batcher, kind: str, vocab: Optional[Dict] = None,
                  request_timeout_s: float = 60.0, max_seconds: float = 600.0,
                  meta: Optional[Dict] = None, streamer=None,
-                 max_stream_seconds: float = 7200.0):
+                 max_stream_seconds: float = 7200.0,
+                 max_body_bytes: int = 1 << 30):
         if kind not in KIND_FIELDS:
             raise ValueError(f"unknown model kind {kind!r}")
         self.batcher = batcher
@@ -222,6 +223,10 @@ class ServingApp:
         self.vocab = vocab
         self.request_timeout_s = request_timeout_s
         self.max_seconds = max_seconds
+        # transport body cap (shared with the native front end, which 413s
+        # before buffering); the stdlib handler enforces it BEFORE reading
+        # so one bogus Content-Length can't OOM the host
+        self.max_body_bytes = max_body_bytes
         self.meta = dict(meta or {})
         self.streamer = streamer
         self.max_stream_seconds = max_stream_seconds
@@ -399,6 +404,7 @@ class ServingApp:
         fmt = (query.get("format")
                or [headers.get("X-Response-Format", "json")])[-1]
         if fmt not in ("json", "binary"):
+            self._count(400)  # counted on both transports (test-pinned)
             return self._encode(
                 400, {"error": f"unknown response format {fmt!r}; "
                                "expected 'json' or 'binary'"}, "json")
@@ -527,13 +533,36 @@ class _Handler(BaseHTTPRequestHandler):
     def _dispatch(self, method: str) -> None:
         body = b""
         if method == "POST":
-            body = self.rfile.read(
-                int(self.headers.get("Content-Length", 0)))
+            try:
+                clen = int(self.headers.get("Content-Length", 0))
+            except (TypeError, ValueError):
+                clen = -1
+            if clen < 0 or clen > self.app.max_body_bytes:
+                # reject BEFORE buffering: reading a hostile Content-Length
+                # into RAM first would let one request OOM the host.  The
+                # unread body makes the socket unusable for keep-alive, so
+                # close it (the native transport 413s pre-buffer the same
+                # way — native/http_server.cpp parse_conn).
+                status, payload = (
+                    (413, {"error": "request body too large"}) if clen > 0
+                    else (400, {"error": "bad Content-Length"}))
+                status, data, ctype = self.app._encode(
+                    status, payload, "json")
+                self.close_connection = True
+                self._send(status, data, ctype, close=True)
+                return
+            body = self.rfile.read(clen)
         status, data, ctype = self.app.handle(
             method, self.path, self.headers, body)
+        self._send(status, data, ctype)
+
+    def _send(self, status: int, data: bytes, ctype: str,
+              close: bool = False) -> None:
         self.send_response(status)
         self.send_header("Content-Type", ctype)
         self.send_header("Content-Length", str(len(data)))
+        if close:
+            self.send_header("Connection", "close")
         self.end_headers()
         self.wfile.write(data)
 

@@ -26,7 +26,7 @@ processes matches the single-process step bit-for-bit on the loss.
 from __future__ import annotations
 
 import os
-from typing import Optional
+from typing import Optional, Sequence
 
 import jax
 
@@ -34,12 +34,16 @@ import jax
 def init_distributed(coordinator_address: str = "",
                      num_processes: int = 0,
                      process_id: int = -1,
-                     local_device_count: Optional[int] = None) -> bool:
+                     local_device_ids: Optional[Sequence[int]] = None) -> bool:
     """Connect this process to a multi-process JAX run.
 
     Must run BEFORE any JAX backend is initialized (first ``jax.devices()``
     call).  Returns True when distributed mode was initialized, False when
     the arguments say single-process (``coordinator_address`` empty).
+
+    ``local_device_ids`` optionally pins which local devices this process
+    owns (JAX's ``local_device_ids`` — device IDs, not a count); leave
+    ``None`` to let each process claim every device it can see.
 
     ``coordinator_address="auto"`` delegates every argument to JAX's
     environment autodetection (TPU pod metadata / cluster env vars).
@@ -54,8 +58,8 @@ def init_distributed(coordinator_address: str = "",
             "multi-process launch needs --num_processes >= 1 and "
             f"--process_id >= 0 (got {num_processes}, {process_id})")
     kwargs = {}
-    if local_device_count is not None:
-        kwargs["num_local_devices"] = local_device_count
+    if local_device_ids is not None:
+        kwargs["local_device_ids"] = list(local_device_ids)
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

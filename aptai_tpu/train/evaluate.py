@@ -91,13 +91,17 @@ def validate_pr(
         out = forward_fn(batch)
         losses.append(float(out["loss"]))
         if decode == "beam_device":
+            # decoded ids only — fetching the full (B, T, V) log-probs is
+            # exactly the host transfer the device beam exists to avoid
             seqs, seq_lens = _device_beam_batch(out["log_probs"],
                                                 out["frame_lengths"])
-        log_probs = np.asarray(out["log_probs"])
-        frame_lengths = np.asarray(out["frame_lengths"])
-        mask = batch.get("batch_pad_mask",
-                         np.ones(len(log_probs), bool))
-        for b in range(len(log_probs)):
+            n_rows = len(seqs)
+        else:
+            log_probs = np.asarray(out["log_probs"])
+            frame_lengths = np.asarray(out["frame_lengths"])
+            n_rows = len(log_probs)
+        mask = batch.get("batch_pad_mask", np.ones(n_rows, bool))
+        for b in range(n_rows):
             if not mask[b]:
                 continue
             labels = batch["phoneme_labels"][b]

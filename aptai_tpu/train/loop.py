@@ -21,6 +21,7 @@ fetch costs ~30 ms RTT):
 
 from __future__ import annotations
 
+import os
 import signal
 import threading
 import time
@@ -75,12 +76,20 @@ class _PreemptionGuard:
         if signum == signal.SIGINT and self.triggered is not None:
             raise KeyboardInterrupt
         self.triggered = signum
-        self.log_fn(
-            f"received {signal.Signals(signum).name}: finishing the "
-            "in-flight step, writing a resume checkpoint, then exiting"
-            + (" (second Ctrl-C kills immediately)"
-               if signum == signal.SIGINT else "")
-        )
+        # Async-signal-safe notice only: os.write is a raw syscall.  Calling
+        # log_fn (print/logging, buffered) here can land mid-write inside the
+        # main thread's own print and raise "reentrant call inside
+        # _io.BufferedWriter", unwinding fit() BEFORE the resume checkpoint
+        # is written.  The full message goes through log_fn at the next
+        # step/epoch-boundary check of ``triggered``.
+        msg = (f"received {signal.Signals(signum).name}: finishing the "
+               "in-flight step, writing a resume checkpoint, then exiting"
+               + (" (second Ctrl-C kills immediately)"
+                  if signum == signal.SIGINT else "") + "\n")
+        try:
+            os.write(2, msg.encode())
+        except OSError:
+            pass
 
     def __enter__(self):
         if self.enabled and (

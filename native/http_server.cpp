@@ -266,6 +266,21 @@ void local_response(Server &s, Conn &c, int status, const std::string &msg,
     pump_ready(s, c);
 }
 
+// True iff the query string has a parameter NAMED "format" ("format=..."
+// at the start or after '&').  A substring search would false-positive on
+// names merely ending in "format" (e.g. "informat=x"), diverging from the
+// Python transport's parsed-key check.
+bool query_has_format(const std::string &q) {
+    size_t pos = 0;
+    while (pos < q.size()) {
+        if (q.compare(pos, 7, "format=") == 0) return true;
+        size_t amp = q.find('&', pos);
+        if (amp == std::string::npos) break;
+        pos = amp + 1;
+    }
+    return false;
+}
+
 bool decode_wire(const Server &s, const std::string &enc,
                  const uint8_t *body, size_t len, std::vector<float> &out) {
     if (enc.empty() || enc == "float32") {
@@ -339,7 +354,7 @@ void route_request(Server &s, Conn &c, const std::string &method,
 
     if (fast) {
         std::string xrf = header_value(hdr_block, "X-Response-Format");
-        if (!xrf.empty() && query.find("format=") == std::string::npos) {
+        if (!xrf.empty() && !query_has_format(query)) {
             if (!query.empty()) query += '&';
             query += "format=" + xrf;
         }
@@ -379,6 +394,13 @@ bool parse_conn(Server &s, Conn &c) {
                 return false;
             }
             return true;
+        }
+        // the cap must also hold when the terminator IS present (one recv
+        // burst can deliver the whole oversized block at once) — it is the
+        // authoritative bound the Python slow-lane buffers are sized to
+        if (hdr_end > 65536) {
+            local_response(s, c, 431, "request headers too large", true);
+            return false;
         }
         size_t line_end = c.in.find("\r\n");
         std::string req_line = c.in.substr(0, line_end);

@@ -202,3 +202,118 @@ def test_metrics_count_fast_lane(servers):
     _post(nport, "/v1/predict", _wav(2000, seed=6).tobytes())
     assert app._stats["requests_total"] == before + 1
     assert app._stats["audio_seconds_total"] > 0
+
+
+def test_invalid_format_metrics_match_python(servers):
+    """?format=bogus is rejected pre-compute on BOTH transports with the
+    same message and the same counter deltas (+1 request, +1 error, no
+    audio seconds)."""
+    nport, pport, app = servers
+    wav = _wav(2000, seed=7)
+    for port in (nport, pport):
+        with app._stats_lock:
+            before = dict(app._stats)
+        status, raw, _ = _post(port, "/v1/predict?format=bogus",
+                               wav.tobytes())
+        assert status == 400
+        assert "unknown response format" in json.loads(raw)["error"]
+        # fast lane resolves asynchronously only for 200s; the 400 is
+        # responded inline, but give the counter a beat anyway
+        with app._stats_lock:
+            after = dict(app._stats)
+        assert after["requests_total"] == before["requests_total"] + 1
+        assert after["errors_total"] == before["errors_total"] + 1
+        assert (after["audio_seconds_total"]
+                == before["audio_seconds_total"])
+
+
+def test_large_headers_reach_handler_untruncated(servers):
+    """A slow-lane request with ~40 KB of padding headers must keep the
+    headers that FOLLOW the padding (the ctypes buffers are sized to the
+    C++ 64 KiB cap — silent truncation would decode the JSON body as
+    octet-stream garbage)."""
+    nport, _, _ = servers
+    wav = _wav(2500, seed=8)
+    headers = {"X-Pad": "a" * 40000,
+               "Content-Type": "application/json"}
+    status, raw, _ = _post(nport, "/v1/predict",
+                           json.dumps({"audio": wav.tolist()}).encode(),
+                           headers)
+    assert status == 200
+    assert json.loads(raw)["frames"] > 0
+
+
+def test_headers_over_64k_rejected(servers):
+    """Header blocks over the authoritative 64 KiB cap → 431, even when
+    the whole block arrives in one burst."""
+    import socket
+
+    nport, _, _ = servers
+    s = socket.create_connection(("127.0.0.1", nport), timeout=30)
+    s.sendall(b"GET /healthz HTTP/1.1\r\nHost: x\r\nX-Pad: "
+              + b"a" * 70000 + b"\r\n\r\n")
+    data = s.recv(65536).decode("latin-1")
+    s.close()
+    assert " 431 " in data.split("\r\n")[0]
+
+
+def test_informat_param_does_not_mask_header_format(servers):
+    """A query param merely ENDING in 'format' (informat=x) must not stop
+    X-Response-Format folding — both transports serve binary."""
+    nport, pport, _ = servers
+    wav = _wav(2000, seed=9)
+    hdr = {"X-Response-Format": "binary"}
+    for port in (nport, pport):
+        status, raw, ctype = _post(port, "/v1/predict?informat=x",
+                                   wav.tobytes(), hdr)
+        assert status == 200 and ctype == "application/x-aptai-bin"
+        assert raw[:4] == b"ATB1"
+
+
+def test_fast_lane_sheds_on_request_timeout(servers):
+    """request_timeout_s is enforced on the native fast lane: queue wait
+    beyond it → 503 before any device work (the Python transport's
+    fut.result(timeout=...) contract)."""
+    nport, _, app = servers
+    old = app.request_timeout_s
+    app.request_timeout_s = 1e-9  # any queue wait exceeds this
+    try:
+        status, raw, _ = _post(nport, "/v1/predict",
+                               _wav(2000, seed=10).tobytes())
+        assert status == 503
+        assert "timed out" in json.loads(raw)["error"]
+    finally:
+        app.request_timeout_s = old
+
+
+def test_stream_does_not_starve_slow_lane(servers):
+    """Two concurrent /v1/stream requests (serialized on the app's stream
+    lock) must not consume the slow workers: /healthz stays responsive
+    while both streams are in flight."""
+    import time as _time
+
+    nport, _, app = servers
+    real_predict = app.streamer.predict
+
+    def slow_predict(wav):
+        _time.sleep(2.0)
+        return real_predict(wav)
+
+    app.streamer.predict = slow_predict
+    try:
+        wav = _wav(16000 * 2, seed=12).tobytes()
+        threads = [threading.Thread(
+            target=_post, args=(nport, "/v1/stream", wav), daemon=True)
+            for _ in range(2)]
+        for t in threads:
+            t.start()
+        _time.sleep(0.3)  # both streams admitted (one running, one queued)
+        t0 = _time.monotonic()
+        status, _, _ = _post(nport, "/healthz", None, method="GET")
+        dt = _time.monotonic() - t0
+        assert status == 200
+        assert dt < 1.5, f"/healthz blocked {dt:.1f}s behind streams"
+        for t in threads:
+            t.join(timeout=120)
+    finally:
+        app.streamer.predict = real_predict

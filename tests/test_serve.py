@@ -379,3 +379,58 @@ def test_binary_codec_roundtrip_unit():
     assert back["empty"].size == 0
     with pytest.raises(ValueError):
         decode_binary(b"JSON{}...")
+
+
+def test_oversized_content_length_rejected_before_read(aptai_server):
+    """A hostile Content-Length must be 413'd BEFORE the body is buffered
+    (one request could otherwise OOM the host); connection closes since the
+    unread body poisons keep-alive."""
+    import http.client
+
+    base, _, app = aptai_server
+    port = int(base.rsplit(":", 1)[1])
+    old = app.max_body_bytes
+    app.max_body_bytes = 1024
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        body = b"\x00" * 4096  # > cap, well under max_seconds
+        conn.request("POST", "/v1/predict", body=body)
+        r = conn.getresponse()
+        raw = r.read()
+        assert r.status == 413
+        assert json.loads(raw) == {"error": "request body too large"}
+        assert r.getheader("Connection") == "close"
+        conn.close()
+    finally:
+        app.max_body_bytes = old
+
+
+def test_bad_content_length_is_400(aptai_server):
+    """Malformed Content-Length → 400 without reading the socket."""
+    import socket
+
+    base, _, _ = aptai_server
+    port = int(base.rsplit(":", 1)[1])
+    s = socket.create_connection(("127.0.0.1", port), timeout=30)
+    s.sendall(b"POST /v1/predict HTTP/1.1\r\nHost: x\r\n"
+              b"Content-Length: zzz\r\n\r\n")
+    data = s.recv(65536).decode("latin-1")
+    s.close()
+    assert " 400 " in data.split("\r\n")[0]
+    assert "bad Content-Length" in data
+
+
+def test_invalid_format_is_counted(aptai_server):
+    """?format=bogus → 400 AND counted (requests_total + errors_total, no
+    audio seconds) — the native fast lane counts the same way."""
+    base, _, app = aptai_server
+    with app._stats_lock:
+        before = dict(app._stats)
+    status, payload = _request(f"{base}/v1/predict?format=bogus",
+                               _wav(2000, seed=11).tobytes())
+    assert status == 400 and "unknown response format" in payload["error"]
+    with app._stats_lock:
+        after = dict(app._stats)
+    assert after["requests_total"] == before["requests_total"] + 1
+    assert after["errors_total"] == before["errors_total"] + 1
+    assert after["audio_seconds_total"] == before["audio_seconds_total"]
