@@ -61,6 +61,8 @@ def save_serving_bundle(
     fields: Optional[Sequence[str]] = None,
     transfer_dtype: str = "float32",
     platforms: Sequence[str] = ("cpu", "tpu"),
+    kind: Optional[str] = None,
+    vocab: Optional[Dict[str, int]] = None,
 ) -> Path:
     """Export ``model.<method>`` at the static serving shape
     ``(batch, seconds·16k)`` and write the bundle to ``out_dir``.
@@ -122,6 +124,10 @@ def save_serving_bundle(
         "transfer_dtype": transfer_dtype,
         "platforms": list(platforms),
         "sample_rate": SAMPLE_RATE,
+        # serving identity: lets aptai-serve reconstruct the per-family
+        # response schema (and IPA mapping) from the bundle alone
+        "kind": kind,
+        "vocab": vocab,
     }, indent=2))
     return out_dir
 
@@ -176,3 +182,77 @@ class ServingBundle:
 
 def load_serving_bundle(bundle_dir) -> ServingBundle:
     return ServingBundle(bundle_dir)
+
+
+def is_bundle(path) -> bool:
+    """True when ``path`` is a serving bundle directory (vs a trainer
+    checkpoint)."""
+    p = Path(path)
+    return (p / _FORWARD).is_file() and (p / _META).is_file()
+
+
+def main(argv=None) -> int:
+    """``aptai-export``: trainer checkpoint → AOT serving bundle.
+
+    Completes the deployment story: train → ``aptai-export`` → serve the
+    bundle anywhere jax + numpy run (``aptai-serve --checkpoint <bundle>``
+    or :class:`ServingBundle` directly), no model code or checkpoint
+    loader on the host."""
+    import argparse
+
+    p = argparse.ArgumentParser(
+        prog="aptai-export",
+        description="Export a trainer checkpoint as a self-contained AOT "
+                    "serving bundle (StableHLO + weights + metadata)")
+    p.add_argument("checkpoint", help="trainer run dir / best-model-ckpt dir")
+    p.add_argument("out_dir", help="bundle output directory")
+    p.add_argument("--batch", type=int, default=16,
+                   help="static serving batch size")
+    p.add_argument("--seconds", type=float, default=10.0,
+                   help="static serving audio length cap")
+    p.add_argument("--fields", default="",
+                   help="comma list; default: the family's serving set")
+    p.add_argument("--transfer_dtype", default="float32",
+                   choices=("float32", "int16", "uint8_mulaw"),
+                   help="wire audio encoding baked into the artifact")
+    p.add_argument("--platforms", default="cpu,tpu",
+                   help="comma list of XLA platforms the artifact targets")
+    p.add_argument("--dtype", default=None,
+                   help="compute dtype override (e.g. bfloat16 for a TPU-"
+                        "only bundle, float32 for CPU parity)")
+    args = p.parse_args(argv)
+
+    # tracing is ahead-of-time: run it on CPU regardless of the local
+    # backend (multi-platform lowering comes from `platforms`, not from
+    # the tracing device)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from aptai_tpu.infer.loader import load_model
+    from aptai_tpu.infer.serve import KIND_FIELDS
+
+    kind, model, params, vocab = load_model(args.checkpoint,
+                                            dtype=args.dtype)
+    method = "encode" if kind == "w2v2_pr" else "predict"
+    fields = ([f for f in args.fields.split(",") if f]
+              or list(KIND_FIELDS[kind]))
+    out = save_serving_bundle(
+        args.out_dir, model, params, method=method, batch=args.batch,
+        seconds=args.seconds, fields=fields,
+        transfer_dtype=args.transfer_dtype,
+        platforms=tuple(s for s in args.platforms.split(",") if s),
+        kind=kind, vocab=vocab,
+    )
+    size = sum(f.stat().st_size for f in out.iterdir())
+    print(json.dumps({
+        "bundle": str(out), "kind": kind, "batch": args.batch,
+        "seconds": args.seconds, "fields": fields,
+        "platforms": args.platforms.split(","),
+        "bytes": size,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

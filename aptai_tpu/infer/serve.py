@@ -588,6 +588,45 @@ STREAMER_CLASSES = {
 }
 
 
+def build_app_from_bundle(bundle_dir, max_wait_ms: float = 10.0,
+                          fetch_workers: int = 4,
+                          request_timeout_s: float = 60.0,
+                          warmup: bool = True) -> ServingApp:
+    """AOT serving bundle directory → started ServingApp.
+
+    The bundle (infer/export.py: StableHLO + weights + metadata) carries
+    its own static shape, baked output fields and wire encoding, so the
+    serving host needs no model code, no checkpoint loader and no Flax —
+    only jax + numpy.  ``/v1/stream`` is unavailable (the chunked streamer
+    needs the live model); ``max_seconds`` is the exported shape's cap."""
+    from aptai_tpu.infer.export import load_serving_bundle
+    from aptai_tpu.infer.server import MicroBatcher
+
+    bundle = load_serving_bundle(bundle_dir)
+    kind = bundle.meta.get("kind")
+    if kind not in KIND_FIELDS:
+        raise ValueError(
+            f"bundle {bundle_dir} records no serving family (kind="
+            f"{kind!r}); re-export it with aptai-export, which stamps the "
+            "family and vocabulary into meta.json")
+    max_seconds = bundle.meta["samples"] / SAMPLE_RATE
+    batcher = MicroBatcher(
+        bundle.predict_batch, max_batch_size=int(bundle.meta["batch"]),
+        max_wait_ms=max_wait_ms, pad_to_max=False,  # the bundle pads itself
+        fields=None,  # baked into the artifact at export time
+        fetch_workers=fetch_workers,
+    )
+    if warmup:
+        batcher.warmup(seconds=min(2.0, max_seconds))
+    batcher.start()
+    return ServingApp(batcher, kind, vocab=bundle.meta.get("vocab"),
+                      request_timeout_s=request_timeout_s,
+                      max_seconds=max_seconds,
+                      meta={"bundle": str(bundle_dir),
+                            "platforms": bundle.meta.get("platforms")},
+                      streamer=None)
+
+
 def build_app(checkpoint: str, fields: Optional[Sequence[str]] = None,
               max_batch_size: int = 16, max_wait_ms: float = 10.0,
               transfer_dtype: str = "float32", dtype: Optional[str] = None,
@@ -598,12 +637,21 @@ def build_app(checkpoint: str, fields: Optional[Sequence[str]] = None,
               chunk_batch: int = 4,
               max_stream_seconds: float = 7200.0) -> ServingApp:
     """Checkpoint directory → started ServingApp (predictor + batcher +
-    optional long-audio streamer sharing the same weights)."""
+    optional long-audio streamer sharing the same weights).  An AOT
+    bundle directory (infer/export.py) is detected and served via
+    :func:`build_app_from_bundle` — same endpoints, no model code."""
     from aptai_tpu.infer import streaming as streaming_mod
     from aptai_tpu.infer.api import (APTAIPredictor, ForceAPTAIPredictor,
                                      W2V2PRPredictor)
+    from aptai_tpu.infer.export import is_bundle
     from aptai_tpu.infer.loader import load_model
     from aptai_tpu.infer.server import MicroBatcher
+
+    if is_bundle(checkpoint):
+        return build_app_from_bundle(
+            checkpoint, max_wait_ms=max_wait_ms,
+            fetch_workers=fetch_workers,
+            request_timeout_s=request_timeout_s, warmup=warmup)
 
     kind, model, params, vocab = load_model(checkpoint, dtype=dtype)
     if kind == "w2v2_pr":
@@ -654,7 +702,9 @@ def build_parser() -> argparse.ArgumentParser:
         description="HTTP serving for aptai_tpu checkpoints "
                     "(micro-batched, one static device shape)")
     p.add_argument("--checkpoint", required=True,
-                   help="trainer run dir / best-model-ckpt dir")
+                   help="trainer run dir / best-model-ckpt dir, or an AOT "
+                        "serving bundle from aptai-export (served without "
+                        "model code; /v1/stream unavailable)")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8077)
     p.add_argument("--max_batch_size", type=int, default=16)

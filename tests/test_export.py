@@ -126,3 +126,70 @@ def test_bundle_mulaw_transfer(aptai_model, tmp_path, rng):
     d = np.abs(np.asarray(mu["tvs_pred"], np.float32)
                - np.asarray(f32["tvs_pred"], np.float32))
     assert float(d.max()) < 0.2, float(d.max())
+
+
+def test_export_cli_then_serve_bundle(aptai_model, tmp_path, rng):
+    """The full deployment path: checkpoint dir → ``aptai-export`` CLI →
+    ``aptai-serve``'s build_app detects the bundle and serves it with the
+    per-family schema — no model object on the serving side."""
+    import dataclasses
+    import json
+
+    from aptai_tpu.infer.export import main as export_main
+    from aptai_tpu.infer.serve import build_app
+    from aptai_tpu.train.checkpoints import save_json, save_pytree
+
+    model, params = aptai_model
+    ckpt = tmp_path / "run" / "best-model-ckpt"
+    save_pytree(ckpt / "params.msgpack", params)
+    save_json(ckpt / "model_cfg.json",
+              {"backbone": dataclasses.asdict(tiny_config()),
+               "vocab": {f"p{i}": i for i in range(11)}, "kind": "aptai"})
+
+    bundle = tmp_path / "bundle"
+    rc = export_main([str(tmp_path / "run"), str(bundle),
+                      "--batch", "2", "--seconds", "0.5",
+                      "--platforms", "cpu"])
+    assert rc == 0
+    meta = json.loads((bundle / "meta.json").read_text())
+    assert meta["kind"] == "aptai" and meta["vocab"]["p3"] == 3
+
+    app = build_app(str(bundle), warmup=False)
+    try:
+        assert app.kind == "aptai" and app.streamer is None
+        assert app.max_seconds == pytest.approx(0.5)
+        wav = (rng.standard_normal(3200).astype(np.float32) * 0.1)
+        status, body, ctype = app.handle(
+            "POST", "/v1/predict", {}, wav.tobytes())
+        assert status == 200 and ctype == "application/json"
+        payload = json.loads(body)
+        assert payload["frames"] > 0
+        assert len(payload["tvs_pred"]) == 9
+
+        # live-model reference for the same wav
+        live = APTAIPredictor(model, params).predict_batch([wav])
+        n = payload["frames"]
+        np.testing.assert_allclose(
+            np.asarray(payload["tvs_pred"]["LA"], np.float32),
+            np.asarray(live["tvs_pred"][0, :n, 0], np.float32), atol=1e-5)
+
+        # the exported shape cap is enforced with a 400, not a 500
+        status, body, _ = app.handle(
+            "POST", "/v1/predict", {},
+            np.zeros(16000, np.float32).tobytes())
+        assert status == 400
+        assert "serving cap" in json.loads(body)["error"]
+    finally:
+        app.batcher.stop()
+
+
+def test_bundle_without_kind_rejected_by_serve(aptai_model, tmp_path):
+    """Bundles exported through the library without a family stamp can't
+    serve (the app needs the response schema) — clear error, not KeyError."""
+    from aptai_tpu.infer.serve import build_app_from_bundle
+
+    model, params = aptai_model
+    out = save_serving_bundle(tmp_path / "nk", model, params,
+                              batch=1, seconds=0.3, platforms=("cpu",))
+    with pytest.raises(ValueError, match="aptai-export"):
+        build_app_from_bundle(out, warmup=False)
