@@ -47,6 +47,14 @@ def main():
     ap.add_argument("--train_utts", type=int, default=96)
     ap.add_argument("--eval_utts", type=int, default=16)
     ap.add_argument("--backbone", choices=("full", "tiny"), default="full")
+    ap.add_argument("--num_layers", type=int, default=24,
+                    help="encoder depth (full backbone only)")
+    ap.add_argument("--disable_reg", action="store_true",
+                    help="zero every dropout and turn SpecAugment off on "
+                         "the full backbone: the experiment's claim is "
+                         "about converged posteriors, and on the 96-"
+                         "utterance synthetic corpus regularization only "
+                         "slows memorization down")
     # 0 = checkpoint only at the end: with ties-improve best selection a
     # plateaued val PER re-writes best EVERY epoch, and over the tunnel
     # each write is a ~4 min params+moments fetch
@@ -87,14 +95,32 @@ def main():
     cp_csv = make_synthetic_commonphone(
         work / "cp", args.train_utts, args.eval_utts, args.eval_utts)
 
-    tiny = tiny_config() if args.backbone == "tiny" else None
+    if args.backbone == "tiny":
+        tiny = tiny_config()
+    elif args.disable_reg:
+        # full production width/depth, regularization off — passed through
+        # the explicit-backbone hook of build_pr_model (train/builders.py)
+        import dataclasses
+
+        from aptai_tpu.models import Wav2Vec2Config
+        from aptai_tpu.train.builders import resolve_dtype
+
+        tiny = Wav2Vec2Config(
+            num_hidden_layers=args.num_layers,
+            hidden_dropout=0.0, activation_dropout=0.0,
+            attention_dropout=0.0, feat_proj_dropout=0.0,
+            final_dropout=0.0, apply_spec_augment=False,
+            dtype=resolve_dtype("auto"),
+        )
+    else:
+        tiny = None
     pr_cfg = PRConfig(
         exp_dir=str(work / "pr"), cp_csv_path=str(cp_csv), hprc_csv_path="",
         num_epochs=args.epochs, num_warmup_epochs=args.warmup,
         num_static_epochs=args.static, batch_size=args.batch_size,
         samples_per_epoch=args.samples_per_epoch,
         learning_rate=args.lr, mesh_data=1, val_decode="greedy",
-        ckpt_every=args.ckpt_every,
+        ckpt_every=args.ckpt_every, num_hidden_layers=args.num_layers,
     ).finalize("phoneme_recognizer")
     history, results = train_pr.run(pr_cfg, tiny_backbone=tiny)
 
@@ -134,6 +160,8 @@ def main():
 
     out = {
         "backbone": args.backbone,
+        "num_layers": args.num_layers,
+        "disable_reg": args.disable_reg,
         "epochs": args.epochs,
         "final_train_loss": round(float(history[-1]["mean_train_loss"]), 4)
         if history else None,
