@@ -46,6 +46,9 @@ def main():
     ap.add_argument("--samples_per_epoch", type=int, default=128)
     ap.add_argument("--train_utts", type=int, default=96)
     ap.add_argument("--eval_utts", type=int, default=16)
+    ap.add_argument("--train_eval_utts", type=int, default=128,
+                    help="cap on train-split utterances decoded for the "
+                         "converged-domain identity measurement")
     ap.add_argument("--backbone", choices=("full", "tiny"), default="full")
     ap.add_argument("--num_layers", type=int, default=24,
                     help="encoder depth (full backbone only)")
@@ -134,45 +137,64 @@ def main():
 
     df = pd.read_csv(cp_csv)
     _, valid_dl, test_dl, _ = make_loaders(pr_cfg, df, vocab)
+    # the train split again, uncropped/unshuffled: the regime where the
+    # recognizer is fully converged — the analog of FORCE decoding with a
+    # converged stage-1 PR on its own domain
+    from aptai_tpu.data.batching import BucketedLoader
+    from aptai_tpu.data.commonphone import CommonPhoneDataset
+    from aptai_tpu.train.train_pr import collate_ctc
 
-    stats = {"n": 0, "identical": 0, "peaks": []}
-    per_greedy, per_beam = PERAccumulator(), PERAccumulator()
-    for dl in (valid_dl, test_dl):
-        for batch in dl:
-            out = fwd(best, batch)
-            log_probs = np.asarray(out["log_probs"], np.float32)
-            frame_lengths = np.asarray(out["frame_lengths"])
-            mask = batch.get("batch_pad_mask",
-                             np.ones(len(log_probs), bool))
-            for b in range(len(log_probs)):
-                if not mask[b]:
-                    continue
-                labels = batch["phoneme_labels"][b]
-                gt = labels[labels >= 0].tolist()
-                lp = log_probs[b, : frame_lengths[b]]
-                g = decode_greedy(lp)
-                bm = decode_best(lp)
-                stats["n"] += 1
-                stats["identical"] += int(g == bm)
-                stats["peaks"].append(float(np.mean(np.exp(lp.max(-1)))))
-                per_greedy.update(gt, g)
-                per_beam.update(gt, bm)
+    train_rows = df[df.split == "train"].head(args.train_eval_utts)
+    train_eval_dl = BucketedLoader(
+        CommonPhoneDataset(train_rows, vocab), collate_fn=collate_ctc,
+        batch_size=pr_cfg.eval_batch_size or pr_cfg.batch_size,
+        shuffle=False)
+
+    def decode_identity(loaders):
+        stats = {"n": 0, "identical": 0, "peaks": []}
+        per_greedy, per_beam = PERAccumulator(), PERAccumulator()
+        for dl in loaders:
+            for batch in dl:
+                out = fwd(best, batch)
+                log_probs = np.asarray(out["log_probs"], np.float32)
+                frame_lengths = np.asarray(out["frame_lengths"])
+                mask = batch.get("batch_pad_mask",
+                                 np.ones(len(log_probs), bool))
+                for b in range(len(log_probs)):
+                    if not mask[b]:
+                        continue
+                    labels = batch["phoneme_labels"][b]
+                    gt = labels[labels >= 0].tolist()
+                    lp = log_probs[b, : frame_lengths[b]]
+                    g = decode_greedy(lp)
+                    bm = decode_best(lp)
+                    stats["n"] += 1
+                    stats["identical"] += int(g == bm)
+                    stats["peaks"].append(float(np.mean(np.exp(lp.max(-1)))))
+                    per_greedy.update(gt, g)
+                    per_beam.update(gt, bm)
+        return {
+            "utterances": stats["n"],
+            "identical_sequences_fraction": round(
+                stats["identical"] / max(stats["n"], 1), 4),
+            "per_greedy": round(per_greedy.per, 4),
+            "per_beam": round(per_beam.per, 4),
+            "mean_posterior_peak": round(float(np.mean(stats["peaks"])), 4),
+        }
 
     out = {
         "backbone": args.backbone,
         "num_layers": args.num_layers,
         "disable_reg": args.disable_reg,
+        "lr": args.lr,
         "epochs": args.epochs,
+        "train_utts": args.train_utts,
         "final_train_loss": round(float(history[-1]["mean_train_loss"]), 4)
         if history else None,
         "cp_test_per_beam_from_trainer": round(
             float(results["mean_cp_test_per"]), 4),
-        "eval_utterances": stats["n"],
-        "identical_sequences_fraction": round(
-            stats["identical"] / max(stats["n"], 1), 4),
-        "per_greedy": round(per_greedy.per, 4),
-        "per_beam": round(per_beam.per, 4),
-        "mean_posterior_peak": round(float(np.mean(stats["peaks"])), 4),
+        "heldout": decode_identity((valid_dl, test_dl)),
+        "train_split": decode_identity((train_eval_dl,)),
     }
     print(json.dumps(out, indent=2))
 
