@@ -41,14 +41,24 @@ def rng():
     return np.random.default_rng(0)
 
 
+# captured at conftest import — BEFORE any fixture can run a trainer.
+# Restoring to a per-test `before` snapshot is not enough: module-scoped
+# fixtures (higher scope) run before the function-scoped autouse fixture,
+# so a trainer run inside e.g. test_end_to_end's module fixture would be
+# captured as the "original" and leak rbg for the rest of the session
+# (observed: test_multihost's in-process reference ran with rbg masks
+# while its fresh worker subprocesses used threefry → loss mismatch).
+_SESSION_PRNG_IMPL = jax.config.jax_default_prng_impl
+
+
 @pytest.fixture(autouse=True)
 def _isolate_default_prng_impl():
     """Trainer mains set jax_default_prng_impl='rbg' (train/config.py::
-    rng_impl — the shipped TPU default); restore jax's default afterwards so
-    trainer-invoking tests don't leak the impl into bit-exactness tests
-    (e.g. test_parallel's DP-vs-single equality, whose per-element threefry
-    bits are topology-invariant while rbg bits under SPMD are not)."""
-    before = jax.config.jax_default_prng_impl
+    rng_impl — the shipped TPU default); restore the session-start default
+    after every test so trainer-invoking tests/fixtures don't leak the impl
+    into bit-exactness tests (e.g. test_parallel's DP-vs-single equality,
+    whose per-element threefry bits are topology-invariant while rbg bits
+    under SPMD are not)."""
     yield
-    if jax.config.jax_default_prng_impl != before:
-        jax.config.update("jax_default_prng_impl", before)
+    if jax.config.jax_default_prng_impl != _SESSION_PRNG_IMPL:
+        jax.config.update("jax_default_prng_impl", _SESSION_PRNG_IMPL)

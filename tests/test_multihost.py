@@ -115,6 +115,11 @@ def test_two_process_dp_step_matches_single_process(tmp_path):
     import jax.numpy as jnp
     import optax
 
+    # the workers are fresh interpreters → threefry mask bits; pin the same
+    # impl here regardless of what earlier suite tests left behind (rbg
+    # bits are topology-dependent, so a leaked rbg default breaks parity)
+    jax.config.update("jax_default_prng_impl", "threefry2x32")
+
     from aptai_tpu.models import W2V2PR, tiny_config
     from aptai_tpu.parallel import make_mesh, shard_batch, shard_tree
     from aptai_tpu.train.harness import create_train_state, make_train_step
