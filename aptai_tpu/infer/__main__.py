@@ -76,6 +76,10 @@ def main(argv=None) -> int:
 
         jax.config.update("jax_platforms", "cpu")
 
+    from aptai_tpu.utils.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()  # repeat invocations skip the full compile
+
     import numpy as np
 
     from aptai_tpu.data.audio_io import load_wav_16k

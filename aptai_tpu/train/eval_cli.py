@@ -73,6 +73,10 @@ def main(argv=None) -> int:
 
         jax.config.update("jax_platforms", "cpu")
 
+    from aptai_tpu.utils.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()  # repeat invocations skip the full compile
+
     import jax
     import pandas as pd
 
