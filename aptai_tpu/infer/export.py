@@ -148,7 +148,14 @@ class ServingBundle:
     def predict_batch(self, wavs: Sequence[np.ndarray]) -> Dict:
         """Pad/chunk to the exported static shape, run, and return every
         output with leading dim ``len(wavs)`` (same contract as the live
-        ``predict_batch``)."""
+        ``predict_batch``).
+
+        Single-chunk results stay LAZY device arrays (sliced views): the
+        MicroBatcher's dispatch loop must return before execution so its
+        fetch pool can overlap the device→host fetch with the next
+        micro-batch's dispatch (infer/server.py) — ``np.asarray`` here
+        would serialize the serving pipeline.  Multi-chunk calls (library
+        use beyond the exported batch) concatenate on the host."""
         from aptai_tpu.infer.api import quantize_transfer
 
         batch = int(self.meta["batch"])
@@ -174,9 +181,10 @@ class ServingBundle:
             lengths[len(group):] = samples
             audio = quantize_transfer(audio, self.meta["transfer_dtype"])
             out = self._exported.call(self.params, audio, lengths)
-            parts.append({k: np.asarray(v)[: len(group)]
-                          for k, v in out.items()})
-        return {k: np.concatenate([p[k] for p in parts], axis=0)
+            parts.append({k: v[: len(group)] for k, v in out.items()})
+        if len(parts) == 1:
+            return parts[0]
+        return {k: np.concatenate([np.asarray(p[k]) for p in parts], axis=0)
                 for k in parts[0]}
 
 
@@ -237,13 +245,19 @@ def main(argv=None) -> int:
     method = "encode" if kind == "w2v2_pr" else "predict"
     fields = ([f for f in args.fields.split(",") if f]
               or list(KIND_FIELDS[kind]))
-    out = save_serving_bundle(
-        args.out_dir, model, params, method=method, batch=args.batch,
-        seconds=args.seconds, fields=fields,
-        transfer_dtype=args.transfer_dtype,
-        platforms=tuple(s for s in args.platforms.split(",") if s),
-        kind=kind, vocab=vocab,
-    )
+    try:
+        out = save_serving_bundle(
+            args.out_dir, model, params, method=method, batch=args.batch,
+            seconds=args.seconds, fields=fields,
+            transfer_dtype=args.transfer_dtype,
+            platforms=tuple(s for s in args.platforms.split(",") if s),
+            kind=kind, vocab=vocab,
+        )
+    except ValueError as e:  # e.g. beam_host models cannot serialize
+        import sys
+
+        print(f"aptai-export: {e}", file=sys.stderr)
+        return 2
     size = sum(f.stat().st_size for f in out.iterdir())
     print(json.dumps({
         "bundle": str(out), "kind": kind, "batch": args.batch,

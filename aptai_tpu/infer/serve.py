@@ -744,15 +744,35 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def bundle_ignored_flags(args, parser) -> list:
+    """Flags that are baked into an AOT bundle at export time: silently
+    accepting a non-default value would serve something other than what
+    was asked, so :func:`main` warns with this list."""
+    baked = ("fields", "transfer_dtype", "dtype", "max_batch_size",
+             "max_seconds", "warmup_seconds", "chunk_seconds",
+             "overlap_seconds", "chunk_batch", "max_stream_seconds")
+    return [f"--{n}" for n in baked
+            if getattr(args, n) != parser.get_default(n)]
+
+
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
     if args.cpu:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    from aptai_tpu.infer.export import is_bundle
     from aptai_tpu.utils.jax_setup import enable_compilation_cache
 
     enable_compilation_cache()
+    if is_bundle(args.checkpoint):
+        ignored = bundle_ignored_flags(args, parser)
+        if ignored:
+            print("aptai-serve: the checkpoint is an AOT bundle — "
+                  f"{', '.join(ignored)} are fixed at export time and were "
+                  "IGNORED; re-export with aptai-export to change them",
+                  file=sys.stderr)
     app = build_app(
         args.checkpoint,
         fields=[f for f in args.fields.split(",") if f] or None,

@@ -112,8 +112,14 @@ def main(argv=None) -> int:
     # a 'phonemes' transcript column (data/commonphone.py vs data/hprc.py)
     is_hprc = "phoneme_labels" in df.columns
     rates = [r for r in args.rate.split(",") if r] if is_hprc else [None]
+    bad = [r for r in rates if r not in (None, "N", "F", "both")]
+    if bad or (is_hprc and not rates):
+        print(f"--rate must be a comma list of N / F / both, got "
+              f"{args.rate!r}", file=sys.stderr)
+        return 2
     results = {"checkpoint": str(args.checkpoint), "kind": kind,
                "manifest": str(args.manifest), "utterances": int(len(df))}
+    n_meta_keys = len(results)
 
     if kind == "w2v2_pr":
         from aptai_tpu.train.train_pr import make_eval_forward
@@ -159,6 +165,11 @@ def main(argv=None) -> int:
                     fwd, dl, args.max_batches,
                     # stdout carries exactly one JSON object
                     log_fn=lambda m: print(m, file=sys.stderr))
+
+    if len(results) == n_meta_keys:  # nothing was scored
+        print(f"no utterances matched the requested rate(s) {rates} — no "
+              "metrics produced", file=sys.stderr)
+        return 2
 
     print(json.dumps(results, indent=2))
     if args.csv:

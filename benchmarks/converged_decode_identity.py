@@ -103,8 +103,6 @@ def main():
     elif args.disable_reg:
         # full production width/depth, regularization off — passed through
         # the explicit-backbone hook of build_pr_model (train/builders.py)
-        import dataclasses
-
         from aptai_tpu.models import Wav2Vec2Config
         from aptai_tpu.train.builders import resolve_dtype
 
@@ -140,9 +138,8 @@ def main():
     # the train split again, uncropped/unshuffled: the regime where the
     # recognizer is fully converged — the analog of FORCE decoding with a
     # converged stage-1 PR on its own domain
-    from aptai_tpu.data.batching import BucketedLoader
+    from aptai_tpu.data.batching import BucketedLoader, collate_ctc
     from aptai_tpu.data.commonphone import CommonPhoneDataset
-    from aptai_tpu.train.train_pr import collate_ctc
 
     train_rows = df[df.split == "train"].head(args.train_eval_utts)
     train_eval_dl = BucketedLoader(

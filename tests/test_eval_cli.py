@@ -109,3 +109,19 @@ def test_speaker_filter_and_errors(setup, capsys):
     # unknown split value: every row filtered away
     assert eval_main([str(setup["aptai"]), str(setup["hprc_csv"]),
                       "--split", "nope"]) == 2
+    # invalid --rate values are usage errors (rc 2), not tracebacks
+    assert eval_main([str(setup["aptai"]), str(setup["hprc_csv"]),
+                      "--rate", "n"]) == 2
+    assert eval_main([str(setup["aptai"]), str(setup["hprc_csv"]),
+                      "--rate", ","]) == 2
+
+
+def test_no_scored_rate_is_an_error(setup, capsys, tmp_path):
+    # a manifest whose rows all miss the requested rate must not exit 0
+    # with a metrics-free JSON
+    df = pd.read_csv(setup["hprc_csv"])
+    n_only = tmp_path / "n_only.csv"
+    df[df.rate == "N"].to_csv(n_only, index=False)
+    assert eval_main([str(setup["aptai"]), str(n_only), "--rate", "F"]) == 2
+    err = capsys.readouterr().err
+    assert "no metrics" in err

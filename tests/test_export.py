@@ -183,6 +183,61 @@ def test_export_cli_then_serve_bundle(aptai_model, tmp_path, rng):
         app.batcher.stop()
 
 
+def test_export_cli_beam_host_is_usage_error(tmp_path, capsys):
+    """aptai-export on a beam_host FORCE checkpoint: one stderr line and
+    rc 2, not a traceback (the in-jit host callback cannot serialize)."""
+    import dataclasses
+
+    from aptai_tpu.infer.export import main as export_main
+    from aptai_tpu.models import ForceAPTAI
+    from aptai_tpu.train.checkpoints import save_json, save_pytree
+
+    cfg = tiny_config()
+    model = ForceAPTAI(cfg, vocab_size=11, decode_method="beam_host")
+    params = model.init(
+        jax.random.PRNGKey(0),
+        np.zeros((1, 3200), np.float32), np.array([3200], np.int32),
+        method="predict")["params"]
+    ckpt = tmp_path / "run" / "best-model-ckpt"
+    save_pytree(ckpt / "params.msgpack", params)
+    save_json(ckpt / "model_cfg.json",
+              {"backbone": dataclasses.asdict(cfg),
+               "vocab": {f"p{i}": i for i in range(11)},
+               "kind": "force_aptai", "decode_method": "beam_host"})
+    rc = export_main([str(tmp_path / "run"), str(tmp_path / "bundle"),
+                      "--batch", "1", "--seconds", "0.25",
+                      "--platforms", "cpu"])
+    assert rc == 2
+    assert "beam_host" in capsys.readouterr().err
+
+
+def test_bundle_single_chunk_outputs_stay_lazy(aptai_model, tmp_path, rng):
+    """Single-chunk predict_batch must NOT materialize to numpy: the
+    MicroBatcher fetches on its worker pool, and a synchronous fetch in
+    the dispatch loop would serialize the serving pipeline."""
+    model, params = aptai_model
+    bundle = load_serving_bundle(save_serving_bundle(
+        tmp_path / "lazy", model, params, batch=2, seconds=0.5,
+        platforms=("cpu",)))
+    out = bundle.predict_batch(
+        [rng.standard_normal(3200).astype(np.float32) * 0.1])
+    assert all(not isinstance(v, np.ndarray) for v in out.values()), {
+        k: type(v) for k, v in out.items()}
+    assert all(v.shape[0] == 1 for v in out.values())
+
+
+def test_serve_warns_on_ignored_bundle_flags():
+    from aptai_tpu.infer.serve import build_parser, bundle_ignored_flags
+
+    parser = build_parser()
+    args = parser.parse_args(["--checkpoint", "b/", "--max_seconds", "5",
+                              "--fields", "tvs_pred"])
+    assert set(bundle_ignored_flags(args, parser)) == {"--max_seconds",
+                                                       "--fields"}
+    assert bundle_ignored_flags(
+        parser.parse_args(["--checkpoint", "b/"]), parser) == []
+
+
 def test_bundle_without_kind_rejected_by_serve(aptai_model, tmp_path):
     """Bundles exported through the library without a family stamp can't
     serve (the app needs the response schema) — clear error, not KeyError."""
