@@ -29,7 +29,7 @@ Layout
 ``aptai_tpu.infer``     user-facing inference APIs incl. long-audio streaming
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"  # keep in sync with pyproject.toml
 
 TV_ORDER = ("LA", "LP", "JA", "TTCL", "TTCD", "TMCL", "TMCD", "TBCL", "TBCD")
 """Canonical ordering of the 9 articulatory tract variables.
