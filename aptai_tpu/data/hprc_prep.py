@@ -984,7 +984,16 @@ def main(argv=None):
     ap.add_argument("--vocab", default=None,
                     help="vocab.json for frame labels (default: built from "
                          "the manifest and saved to <prep>/vocab.json)")
+    ap.add_argument("--platform", default="cpu",
+                    help="jax platform for the signal ops (default cpu: "
+                         "prep computes mspec/mfcc at a distinct audio "
+                         "length per utterance, so an accelerator platform "
+                         "recompiles per utterance and is strictly slower)")
     args = ap.parse_args(argv)
+
+    import jax
+
+    jax.config.update("jax_platforms", args.platform)
     prepare_hprc(args.raw, args.prep, args.norm, args.norm_rate,
                  run_maus=args.run_maus, replace=args.replace,
                  vocab_path=args.vocab)

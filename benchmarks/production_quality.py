@@ -28,10 +28,31 @@ from __future__ import annotations
 
 import argparse
 import json
+import subprocess
 import sys
 from pathlib import Path
 
 sys.path.insert(0, ".")
+
+
+def _make_corpus_on_cpu(root: Path, utts_per_speaker: int) -> Path:
+    """Generate the synthetic HPRC tree in a CPU-platform subprocess.
+
+    ``make_synthetic_hprc`` computes mspec/mfcc with jnp ops at a distinct
+    audio length per utterance; under the pinned axon platform every
+    utterance would trigger a remote compile (~minutes each).  A child
+    process that flips jax to CPU *before* backend init keeps the chip out
+    of corpus prep entirely.
+    """
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "import sys; sys.path.insert(0, '.')\n"
+        "from aptai_tpu.data import make_synthetic_hprc\n"
+        f"make_synthetic_hprc({str(root)!r}, "
+        f"utts_per_speaker={utts_per_speaker})\n"
+    )
+    subprocess.run([sys.executable, "-c", code], check=True)
+    return root / "hprc.csv"
 
 
 def main():
@@ -80,8 +101,13 @@ def main():
 
     hprc_csv = work / "hprc" / "hprc.csv"
     if not hprc_csv.exists():
-        hprc_csv = make_synthetic_hprc(
-            work / "hprc", utts_per_speaker=args.utts_per_speaker, cfg=tiny)
+        if args.tiny:
+            hprc_csv = make_synthetic_hprc(
+                work / "hprc", utts_per_speaker=args.utts_per_speaker,
+                cfg=tiny)
+        else:
+            hprc_csv = _make_corpus_on_cpu(
+                work / "hprc", args.utts_per_speaker)
     import pandas as pd
 
     spk = str(pd.read_csv(hprc_csv).speaker.iloc[0])

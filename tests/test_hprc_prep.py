@@ -374,3 +374,35 @@ def test_prepare_hprc_driver_end_to_end(tmp_path, rng):
     assert write_acoustic_features(prep) == 0
     csv2 = prepare_hprc(None, prep, log=lambda *_: None)
     assert pd.read_csv(csv2).shape == df.shape
+
+
+def test_prep_cli_entry_point(tmp_path, rng):
+    """`python -m aptai_tpu.data.hprc_prep` argv path: runs the driver and
+    defaults the jax platform to cpu — prep computes mspec/mfcc at one
+    distinct audio length per utterance, so on the TPU platform every
+    utterance would trigger a fresh compile (measured: ~3.5 min/utterance
+    through the axon tunnel vs ~1 s on host CPU)."""
+    import jax
+    import pandas as pd
+
+    from aptai_tpu.data.hprc_prep import extract_mat, main
+    from aptai_tpu.data.textgrid import Interval, write_textgrid
+
+    raw = tmp_path / "raw"
+    keys = _write_raw_speaker(raw, "M01", rng)
+    prep = tmp_path / "prep"
+    extract_mat(raw, prep)
+    (prep / "M01" / "phonemes").mkdir()
+    for key in keys:
+        write_textgrid(
+            prep / "M01" / "phonemes" / f"{key}.TextGrid",
+            {"MAU": [Interval(0.0, 0.3, "(...)"),
+                     Interval(0.3, 0.6, "a"),
+                     Interval(0.6, 1.0, "b")]},
+        )
+
+    main(["--prep", str(prep)])
+
+    assert jax.config.jax_platforms == "cpu"
+    df = pd.read_csv(prep / "hprc.csv")
+    assert len(df) == 2 and (prep / "vocab.json").exists()
