@@ -28,7 +28,8 @@ class _OneBatchLoader:
 def setup(request):
     cfg = tiny_config()
     model = ForceAPTAI(cfg, vocab_size=cfg.vocab_size,
-                       decode_method=request.param)
+                       decode_method=request.param,
+                       allow_host_callback_decode=True)
     rng = np.random.default_rng(0)
     audio = rng.standard_normal((3, 4800)).astype(np.float32)
     lengths = np.array([4800, 3200, 2400], np.int32)
