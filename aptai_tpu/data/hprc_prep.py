@@ -29,6 +29,7 @@ from __future__ import annotations
 import csv
 import os
 import pickle
+import sys
 from pathlib import Path
 from typing import Dict, List, Optional
 
@@ -993,7 +994,24 @@ def main(argv=None):
 
     import jax
 
-    jax.config.update("jax_platforms", args.platform)
+    # jax_platforms only takes effect before the first backend query; when
+    # main() is embedded in a process whose backend is already live (e.g.
+    # called programmatically after device use), the update would be
+    # silently ineffective — warn instead of letting the per-utterance
+    # remote-compile trap (module docstring) reappear unannounced.
+    from jax._src import xla_bridge as _xb
+
+    if _xb.backends_are_initialized():
+        live = jax.default_backend()
+        if live != args.platform:
+            print(
+                f"WARNING: jax backend already initialized as '{live}'; "
+                f"--platform {args.platform} cannot take effect in this "
+                "process — signal ops will run on the live backend",
+                file=sys.stderr,
+            )
+    else:
+        jax.config.update("jax_platforms", args.platform)
     prepare_hprc(args.raw, args.prep, args.norm, args.norm_rate,
                  run_maus=args.run_maus, replace=args.replace,
                  vocab_path=args.vocab)

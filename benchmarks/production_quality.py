@@ -44,9 +44,10 @@ def _make_corpus_on_cpu(root: Path, utts_per_speaker: int) -> Path:
     process that flips jax to CPU *before* backend init keeps the chip out
     of corpus prep entirely.
     """
+    repo_root = str(Path(__file__).resolve().parents[1])
     code = (
         "import jax; jax.config.update('jax_platforms', 'cpu')\n"
-        "import sys; sys.path.insert(0, '.')\n"
+        f"import sys; sys.path.insert(0, {repo_root!r})\n"
         "from aptai_tpu.data import make_synthetic_hprc\n"
         f"make_synthetic_hprc({str(root)!r}, "
         f"utts_per_speaker={utts_per_speaker})\n"
@@ -74,6 +75,11 @@ def main():
                          "its vocab.json must cover the synthetic phones")
     ap.add_argument("--skip_aptai", action="store_true")
     ap.add_argument("--skip_force", action="store_true")
+    ap.add_argument("--force_decode_method", default="greedy",
+                    choices=("greedy", "beam_device"),
+                    help="stage C in-step CTC decode: the shipped greedy "
+                         "default, or the on-device prefix beam (true "
+                         "reference beam semantics in one XLA program)")
     ap.add_argument("--tiny", action="store_true",
                     help="CPU smoke mode: tiny backbone, 2 epochs")
     ap.add_argument("--work", default="/tmp/production_quality")
@@ -118,7 +124,8 @@ def main():
         "lr": args.lr,
     }
 
-    keys = ("mean_rmse", "mean_pcc", "mean_FER", "mean_PER", "mean_overlap")
+    keys = ("mean_rmse", "mean_pcc", "mean_FER", "mean_PER", "mean_overlap",
+            "mean_F1", "mean_Rval")
     if not args.skip_aptai:
         cfg = APTAIConfig(
             exp_dir=str(work / "aptai"), hprc_csv_path=str(hprc_csv),
@@ -140,17 +147,20 @@ def main():
                 f"--pr_dir {pr_dir} has no vocab.json; train a PR first "
                 "(e.g. benchmarks/converged_decode_identity.py)")
         cfg = ForceAPTAIConfig(
-            exp_dir=str(work / "force"), hprc_csv_path=str(hprc_csv),
+            exp_dir=str(work / f"force_{args.force_decode_method}"),
+            hprc_csv_path=str(hprc_csv),
             pr_model_path=str(pr_dir),
             vocab_path=str(pr_dir / "vocab.json"),
             num_epochs=args.epochs_force,
             num_warmup_epochs=args.warmup_force,
             num_static_epochs=args.static_force,
             batch_size=args.batch_size, learning_rate=args.lr,
+            decode_method=args.force_decode_method,
             mesh_data=1,
         ).finalize("FORCE_APTAI")
         fmean, _, _ = train_force_aptai.run(cfg, tiny_backbone=tiny,
                                             speakers=[spk])
+        report["force_decode_method"] = args.force_decode_method
         report["force"] = {
             f"test_{r}_{k}": round(fmean[f"test_{r}_{k}"], 4)
             for r in ("N", "F") for k in keys}

@@ -376,13 +376,58 @@ def test_prepare_hprc_driver_end_to_end(tmp_path, rng):
     assert pd.read_csv(csv2).shape == df.shape
 
 
-def test_prep_cli_entry_point(tmp_path, rng):
+def test_prep_cli_entry_point(tmp_path, rng, monkeypatch, capsys):
     """`python -m aptai_tpu.data.hprc_prep` argv path: runs the driver and
     defaults the jax platform to cpu — prep computes mspec/mfcc at one
     distinct audio length per utterance, so on the TPU platform every
     utterance would trigger a fresh compile (measured: ~3.5 min/utterance
-    through the axon tunnel vs ~1 s on host CPU)."""
+    through the axon tunnel vs ~1 s on host CPU).
+
+    The platform assertion is made discriminating by recording the
+    ``jax.config.update`` call itself (conftest already pins the global
+    config to cpu, so asserting the global value would pass vacuously) and
+    by forcing the not-yet-initialized branch — in-suite the backend is
+    live, which exercises the embedded-use guard instead."""
     import jax
+    import pandas as pd
+
+    from aptai_tpu.data import hprc_prep
+    from aptai_tpu.data.hprc_prep import extract_mat, main
+    from aptai_tpu.data.textgrid import Interval, write_textgrid
+
+    raw = tmp_path / "raw"
+    keys = _write_raw_speaker(raw, "M01", rng)
+    prep = tmp_path / "prep"
+    extract_mat(raw, prep)
+    (prep / "M01" / "phonemes").mkdir()
+    for key in keys:
+        write_textgrid(
+            prep / "M01" / "phonemes" / f"{key}.TextGrid",
+            {"MAU": [Interval(0.0, 0.3, "(...)"),
+                     Interval(0.3, 0.6, "a"),
+                     Interval(0.6, 1.0, "b")]},
+        )
+
+    updates = []
+    real_update = jax.config.update
+    monkeypatch.setattr(
+        jax.config, "update",
+        lambda name, value: (updates.append((name, value)),
+                             real_update(name, value)))
+    from jax._src import xla_bridge as xb
+
+    monkeypatch.setattr(xb, "backends_are_initialized", lambda: False)
+    main(["--prep", str(prep)])
+    assert ("jax_platforms", "cpu") in updates
+
+    df = pd.read_csv(prep / "hprc.csv")
+    assert len(df) == 2 and (prep / "vocab.json").exists()
+
+
+def test_prep_cli_warns_when_backend_already_live(tmp_path, rng, capsys):
+    """Embedded use with a live, non-matching backend: main() must not
+    silently no-op the --platform request (ADVICE r3) — it warns and
+    proceeds on the live backend."""
     import pandas as pd
 
     from aptai_tpu.data.hprc_prep import extract_mat, main
@@ -401,8 +446,8 @@ def test_prep_cli_entry_point(tmp_path, rng):
                      Interval(0.6, 1.0, "b")]},
         )
 
-    main(["--prep", str(prep)])
-
-    assert jax.config.jax_platforms == "cpu"
-    df = pd.read_csv(prep / "hprc.csv")
-    assert len(df) == 2 and (prep / "vocab.json").exists()
+    # in-suite the cpu backend IS initialized; ask for a different platform
+    main(["--prep", str(prep), "--platform", "tpu"])
+    err = capsys.readouterr().err
+    assert "already initialized" in err and "cpu" in err
+    assert len(pd.read_csv(prep / "hprc.csv")) == 2
