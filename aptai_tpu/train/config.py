@@ -26,6 +26,12 @@ class TrainConfig:
     num_epochs: int = 160
     num_warmup_epochs: int = 0
     num_static_epochs: int = 0
+    # PER-CHIP batch size.  The blessed defaults (PR 2 / APTAI 5 / FORCE 5,
+    # scripts/start_train_*.sh) reproduce the reference's exact protocol;
+    # for production DP throughput the measured optimum on this chip is 16
+    # per chip (+16% audio-s/s over 8×5 s at the same convergence shape —
+    # benchmarks/train_step.py sweep, PERF.md "Training batch sweep"):
+    #   --batch_size=16  [× mesh_data chips via DP]
     batch_size: int = 4
     # 0 → evaluate at the training batch size through the bucketed loader
     # (the reference evaluates at batch 1 — train_aptai.py:74-76 — which is

@@ -243,9 +243,14 @@ def check_w2v2_pr(jax_cfg, enc_params, audio, lengths, rng,
     }
 
 
-def check_aptai(jax_cfg, enc_params, audio, lengths, rng, num_phonemes=11):
+def check_aptai(jax_cfg, enc_params, audio, lengths, rng, num_phonemes=11,
+                aptai_params=None):
     """C2 parity: per-TV Pearson r + FER between impls + loss agreement
-    (reference models/aptai.py:58-115; metric defs utility.py:393-444)."""
+    (reference models/aptai.py:58-115; metric defs utility.py:393-444).
+
+    ``aptai_params``: a TRAINED APTAI checkpoint's params — its encoder AND
+    heads are exported to torch instead of the seeded random heads, pinning
+    trained-full-size export fidelity (VERDICT r3 next #7)."""
     import jax.numpy as jnp
     import torch
     from scipy.stats import pearsonr
@@ -255,11 +260,21 @@ def check_aptai(jax_cfg, enc_params, audio, lengths, rng, num_phonemes=11):
     from aptai_tpu.ops.fir import lowpass_fir_taps
 
     h = jax_cfg.hidden_size
-    tv_kernel = (rng.standard_normal((h, 9)) * 0.1).astype(np.float32)
-    tv_bias = np.zeros((9,), np.float32)
-    phn_kernel = (rng.standard_normal((h, num_phonemes)) * 0.1).astype(
-        np.float32)
-    phn_bias = np.zeros((num_phonemes,), np.float32)
+    if aptai_params is not None:
+        enc_params = aptai_params["encoder"]
+        tv_kernel = np.asarray(aptai_params["tv_linear"]["kernel"],
+                               np.float32)
+        tv_bias = np.asarray(aptai_params["tv_linear"]["bias"], np.float32)
+        phn_kernel = np.asarray(aptai_params["phn_linear"]["kernel"],
+                                np.float32)
+        phn_bias = np.asarray(aptai_params["phn_linear"]["bias"], np.float32)
+        num_phonemes = phn_kernel.shape[1]
+    else:
+        tv_kernel = (rng.standard_normal((h, 9)) * 0.1).astype(np.float32)
+        tv_bias = np.zeros((9,), np.float32)
+        phn_kernel = (rng.standard_normal((h, num_phonemes)) * 0.1).astype(
+            np.float32)
+        phn_bias = np.zeros((num_phonemes,), np.float32)
 
     model = APTAI(jax_cfg, num_phonemes=num_phonemes, tv_drop=0.0,
                   phn_drop=0.0)
@@ -512,7 +527,17 @@ def run(args) -> dict:
     }
     verdict["w2v2_pr"] = check_w2v2_pr(jax_cfg, enc_params, audio, lengths,
                                        rng, pr_params=pr_params)
-    verdict["aptai"] = check_aptai(jax_cfg, enc_params, audio, lengths, rng)
+    aptai_params, aptai_cfg = None, jax_cfg
+    if getattr(args, "aptai_exp_dir", None):
+        from aptai_tpu.infer.loader import load_model
+
+        kind, am, aptai_params, _ = load_model(args.aptai_exp_dir)
+        if kind != "aptai":
+            raise SystemExit(f"--aptai_exp_dir holds a {kind!r} checkpoint")
+        aptai_cfg = dataclasses.replace(am.cfg, apply_spec_augment=False)
+        verdict["mode"] += "+trained_aptai_ckpt"
+    verdict["aptai"] = check_aptai(aptai_cfg, enc_params, audio, lengths,
+                                   rng, aptai_params=aptai_params)
     verdict["force"] = check_force(jax_cfg, enc_params, audio, lengths, rng)
     verdict["overall_pass"] = bool(all(
         verdict[k]["pass"] for k in ("w2v2_pr", "aptai", "force")))
@@ -554,6 +579,11 @@ def main(argv=None):
     ap.add_argument("--train_pr_epochs", type=int, default=0,
                     help="train a tiny synthetic-corpus PR first and "
                          "round-trip it (offline self-check)")
+    ap.add_argument("--aptai_exp_dir", default=None,
+                    help="an aptai_tpu train_aptai run/checkpoint dir: "
+                         "export its TRAINED encoder + heads to torch and "
+                         "compare forwards (full-size trained-weight "
+                         "export fidelity)")
     ap.add_argument("--n_utts", type=int, default=3)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--platform", default="cpu",

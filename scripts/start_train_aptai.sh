@@ -1,5 +1,8 @@
 #!/usr/bin/env bash
-# Blessed APTAI configuration (reference train/start_train_aptai.sh)
+# Blessed APTAI configuration (reference train/start_train_aptai.sh).
+# Throughput note: batch_size 5 is the reference protocol; for production
+# DP runs the measured per-chip optimum is --batch_size=16 (+16% audio-s/s,
+# benchmarks/PERF.md "Training batch sweep") — pass it via "$@".
 python -m aptai_tpu.train.train_aptai \
   --no-laptop \
   --no-logging \
