@@ -46,7 +46,8 @@ class StreamingPredictor:
                  chunk_batch: int = 1,
                  frame_keys: Sequence[str] | None = None,
                  fetch_workers: int = 2,
-                 transfer_dtype: str = "float32"):
+                 transfer_dtype: str = "float32",
+                 upload_ahead: bool = False):
         """``mesh`` + ``chunk_batch`` > 1 enable *sequence parallelism for a
         single long recording*: consecutive chunks are batched and the batch
         axis shards over the mesh's data axis, so one hour-long file spreads
@@ -82,6 +83,18 @@ class StreamingPredictor:
         self.params = params
         self.fetch_workers = max(int(fetch_workers), 1)
         self.transfer_dtype = transfer_dtype
+        # Explicit upload/compute overlap for the window path: a dedicated
+        # thread forces each window's host→device transfer (via a trivial
+        # reduction fetch) one group AHEAD of the compute fetches, so on a
+        # link-bound transport (the axon tunnel: 38–41 MB/s measured,
+        # benchmarks/PERF.md round 3) window i+1 uploads while window i
+        # computes, instead of relying on the runtime to overlap lazy
+        # transfers.  Off by default (on fast host links the extra
+        # barrier fetches are pure overhead).
+        self.upload_ahead = bool(upload_ahead)
+        self._upload_barrier = jax.jit(
+            lambda w: jnp.sum(w.astype(jnp.int32)) if w.dtype in (
+                jnp.int16, jnp.uint8) else jnp.sum(w))
         self.chunk_batch = max(int(chunk_batch), 1)
         self.chunk = int(chunk_seconds * SAMPLE_RATE)
         self.overlap = int(overlap_seconds * SAMPLE_RATE)
@@ -174,6 +187,7 @@ class StreamingPredictor:
         g = self.chunk_batch
         n_groups = (n_chunks + g - 1) // g
         device_outs = []
+        barriers = None
         group_sizes = [min(g, n_chunks - i * g) for i in range(n_groups)]
 
         if self.mesh is None:
@@ -189,14 +203,21 @@ class StreamingPredictor:
             from aptai_tpu.infer.api import quantize_transfer
 
             flat = quantize_transfer(flat, self.transfer_dtype)
+            dev_wins = [
+                jax.device_put(flat[i * g * self.hop
+                                    : i * g * self.hop + self.window])
+                for i in range(n_groups)
+            ]
+            if self.upload_ahead:
+                # one cheap reduction per window; forcing these IN ORDER on
+                # a side thread streams the uploads ahead of the computes
+                barriers = [self._upload_barrier(w) for w in dev_wins]
             for i in range(n_groups):
-                w0 = i * g * self.hop
                 lens_g = np.full((g,), self.chunk, np.int32)
                 take = group_sizes[i]
                 lens_g[:take] = lens[i * g : i * g + take]
                 device_outs.append(self._fwd_window(
-                    self.params, jnp.asarray(flat[w0 : w0 + self.window]),
-                    jnp.asarray(lens_g)))
+                    self.params, dev_wins[i], jnp.asarray(lens_g)))
         else:
             padded = np.zeros((n_chunks, self.chunk), np.float32)
             for i, s in enumerate(starts):
@@ -219,6 +240,20 @@ class StreamingPredictor:
             from aptai_tpu.infer.api import fetch_outputs
 
             return fetch_outputs({k: out[k] for k in self.frame_keys})
+
+        uploader = None
+        if barriers is not None and len(barriers) > 1:
+            import threading
+
+            def _force_uploads():
+                for bar in barriers:
+                    try:
+                        float(bar)
+                    except Exception:
+                        return  # compute fetches surface any real error
+
+            uploader = threading.Thread(target=_force_uploads, daemon=True)
+            uploader.start()
 
         if len(device_outs) > 1 and self.fetch_workers > 1:
             from concurrent.futures import ThreadPoolExecutor

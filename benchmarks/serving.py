@@ -34,6 +34,11 @@ def main():
                          "lossless for 16-bit PCM sources; uint8_mulaw = "
                          "quarter, G.711 mu-law lossy)")
     ap.add_argument("--stream_reps", type=int, default=3)
+    ap.add_argument("--upload_ahead", action="store_true",
+                    help="streaming: force each window's upload one group "
+                         "ahead of the compute fetches on a side thread "
+                         "(explicit upload/compute overlap on link-bound "
+                         "transports; infer/streaming.py)")
     ap.add_argument("--max_batch", type=int, default=16)
     ap.add_argument("--skip_serving", action="store_true")
     ap.add_argument("--skip_streaming", action="store_true")
@@ -299,7 +304,8 @@ def main():
     stream = StreamingAPTAI(model, params, chunk_seconds=20.0,
                             overlap_seconds=2.0,
                             chunk_batch=args.chunk_batch,
-                            transfer_dtype=args.transfer_dtype, **st_kw)
+                            transfer_dtype=args.transfer_dtype,
+                            upload_ahead=args.upload_ahead, **st_kw)
     samples = int(16000 * 60 * stream_minutes)
     wav = (rng.standard_normal(samples) * 0.1).astype(np.float32)
     _ = stream.predict(wav[: stream.chunk + stream.hop])  # compile

@@ -144,6 +144,28 @@ def test_streaming_tiling_is_exact(models):
     np.testing.assert_allclose(la_s, la_c, rtol=1e-4, atol=1e-5)
 
 
+def test_streaming_upload_ahead_is_numerically_identical(models):
+    """upload_ahead=True only reorders host→device transfers (a side
+    thread forces each window's upload ahead of the compute fetches);
+    stitched outputs must equal the default path bit-for-bit, incl. with
+    a quantized transfer dtype and a partial last group."""
+    (aptai, ap), _, _ = models
+    rng = np.random.default_rng(3)
+    wav = rng.standard_normal(16000 * 9).astype(np.float32) * 0.1
+    for dt in ("float32", "int16"):
+        base = StreamingAPTAI(aptai, ap, chunk_seconds=3.0,
+                              overlap_seconds=1.0, chunk_batch=2,
+                              transfer_dtype=dt)
+        ahead = StreamingAPTAI(aptai, ap, chunk_seconds=3.0,
+                               overlap_seconds=1.0, chunk_batch=2,
+                               transfer_dtype=dt, upload_ahead=True)
+        a, b = base.predict(wav), ahead.predict(wav)
+        np.testing.assert_array_equal(a["phn_fc_pred"], b["phn_fc_pred"])
+        for k in a["tvs_pred"]:
+            np.testing.assert_array_equal(a["tvs_pred"][k],
+                                          b["tvs_pred"][k])
+
+
 def test_streaming_short_audio_passthrough(models):
     (aptai, ap), _, _ = models
     wav = np.random.default_rng(2).standard_normal(8000).astype(np.float32)
