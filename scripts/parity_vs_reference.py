@@ -503,7 +503,12 @@ def run(args) -> dict:
             .read_text())
         bk = {k: tuple(v) if isinstance(v, list) else v
               for k, v in cfg_json["backbone"].items()}
-        jax_cfg = Wav2Vec2Config(**{**bk, "apply_spec_augment": False})
+        # force the f32 parity path: TPU-trained checkpoints record their
+        # run-local compute dtype (bfloat16 + tanh GELU), but torch here is
+        # f32 + exact erf — comparing across compute dtypes measures the
+        # bf16 tax, not conversion fidelity (params are stored f32 anyway)
+        jax_cfg = Wav2Vec2Config(**{**bk, "apply_spec_augment": False,
+                                    "dtype": "float32"})
         import jax.numpy as jnp  # noqa: F401
 
         from aptai_tpu.models import W2V2PR
@@ -531,7 +536,8 @@ def run(args) -> dict:
     if getattr(args, "aptai_exp_dir", None):
         from aptai_tpu.infer.loader import load_model
 
-        kind, am, aptai_params, _ = load_model(args.aptai_exp_dir)
+        kind, am, aptai_params, _ = load_model(args.aptai_exp_dir,
+                                               dtype="float32")
         if kind != "aptai":
             raise SystemExit(f"--aptai_exp_dir holds a {kind!r} checkpoint")
         aptai_cfg = dataclasses.replace(am.cfg, apply_spec_augment=False)
