@@ -9,6 +9,10 @@ import numpy as np
 import pandas as pd
 import pytest
 
+# module fixtures run real multi-epoch trainer CLIs (minutes); deselect
+# for quick iteration with -m "not slow"
+pytestmark = pytest.mark.slow
+
 from aptai_tpu.data import make_synthetic_commonphone, make_synthetic_hprc
 from aptai_tpu.models import tiny_config
 from aptai_tpu.train.config import APTAIConfig, ForceAPTAIConfig, PRConfig
