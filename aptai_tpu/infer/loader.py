@@ -102,6 +102,14 @@ def load_model(path, dtype: Optional[str] = None,
             model = ForceAPTAI(
                 backbone, vocab_size=len(vocab),
                 decode_method=cfg.get("decode_method", "greedy"),
+                # energy_temperature shapes the emitted alignment; the
+                # loss knobs are inert at inference but keep the module
+                # config faithful to the checkpoint (builders.py)
+                blank_logprob=cfg.get("blank_logprob", -1.0),
+                off_diag_prior=cfg.get("off_diag_prior", False),
+                prior_g=cfg.get("prior_g", 0.2),
+                energy_temperature=cfg.get("energy_temperature", 1.0),
+                aux_frame_ce_weight=cfg.get("aux_frame_ce", 0.0),
             )
             example = model.init(key, audio, lengths,
                                  jnp.zeros((1, 200, 9)))["params"]

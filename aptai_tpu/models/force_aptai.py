@@ -92,6 +92,26 @@ class ForceAPTAI(nn.Module):
     att_hidden_dim: int = 128      # force_aptai.py:33
     lowpass_cutoff_hz: float = 10.0
     frame_rate_hz: float = float(FRAME_RATE_HZ)
+    # --- alignment-quality knobs (reference-faithful defaults) ---
+    # score of the ForwardSum blank column (reference modules.py:70: −1)
+    blank_logprob: float = -1.0
+    # off-diagonal Gaussian band prior on the alignment scores — shipped
+    # DISABLED in the reference (models/modules.py:108,119-126) and off by
+    # default here; the one-TTS-alignment remedy for ForwardSum
+    # silence/diagonal collapse (ops/forward_sum.py::off_diag_prior_logprobs)
+    off_diag_prior: bool = False
+    prior_g: float = 0.2
+    # temperature on the cross-attention energies feeding the alignment
+    # log-softmax (loss AND emitted alignment; 1.0 = reference-exact).
+    # <1 sharpens the per-frame alignment distribution; argmax (frame
+    # phoneme prediction) is temperature-invariant.
+    energy_temperature: float = 1.0
+    # auxiliary frame-level CE distilling the FROZEN tower's own per-frame
+    # CTC posterior argmax into the alignment: for frames where the tower's
+    # posterior argmax is a real phone (not blank), -log of the attention
+    # mass landing on positions of the decoded sequence holding that phone.
+    # 0.0 = off (reference has no counterpart; pure opt-in).
+    aux_frame_ce_weight: float = 0.0
     # in-step CTC decode: "greedy" = batched on-device collapse (the
     # TPU-native default); "beam_device" = TRUE prefix beam search on device
     # (decode/device.py) — the reference's beam semantics with no host round
@@ -151,7 +171,8 @@ class ForceAPTAI(nn.Module):
         }
 
     def _align_core(self, frame_embs, frame_lengths, phn_pred_seq,
-                    phn_seq_lengths, phn_seq_truncated, deterministic):
+                    phn_seq_lengths, phn_seq_truncated, deterministic,
+                    tower_frame_labels=None):
         """Post-decode half: phoneme embedding ↔ frame cross-attention."""
         phn_pred_mask = (phn_pred_seq != 0).astype(jnp.int32)
 
@@ -161,6 +182,8 @@ class ForceAPTAI(nn.Module):
 
         att_out, energy = self.xatt(frame_hidden, phn_embs, phn_pred_mask)
         att_mask = (1 - phn_pred_mask).astype(energy.dtype) * -1000.0
+        if self.energy_temperature != 1.0:
+            energy = energy / self.energy_temperature
         att = jax.nn.log_softmax(energy + att_mask[:, None, :], axis=-1)
         return {
             "att_out": att_out,
@@ -169,6 +192,7 @@ class ForceAPTAI(nn.Module):
             "phn_seq_lengths": phn_seq_lengths,
             "phn_seq_truncated": phn_seq_truncated,
             "frame_lengths": frame_lengths,
+            "tower_frame_labels": tower_frame_labels,
         }
 
     def _align(self, audio_inputs, audio_lengths, deterministic):
@@ -215,9 +239,11 @@ class ForceAPTAI(nn.Module):
                 max_output_length=self.max_phn_seq_len,
                 return_truncated=True,
             )
-        return self._align_core(enc["frame_embs"], frame_lengths,
-                                phn_pred_seq, phn_seq_lengths,
-                                phn_seq_truncated, deterministic)
+        return self._align_core(
+            enc["frame_embs"], frame_lengths, phn_pred_seq, phn_seq_lengths,
+            phn_seq_truncated, deterministic,
+            tower_frame_labels=jnp.argmax(enc["ctc_log_probs"], axis=-1)
+            .astype(jnp.int32))
 
     def __call__(
         self,
@@ -238,14 +264,21 @@ class ForceAPTAI(nn.Module):
         phn_seq_truncated: jnp.ndarray, # (B,)
         tv_targets: jnp.ndarray,        # (B, T, 9)
         deterministic: bool = True,
+        tower_frame_labels: jnp.ndarray = None,  # (B, T) tower argmax ids
     ):
         """Training forward from pre-computed tower outputs + host-decoded
         phoneme sequences — the second program of the split beam_host step
         (see :meth:`encode_frozen`).  Numerically identical to ``__call__``
-        with ``decode_method='beam_host'`` (tested)."""
+        with ``decode_method='beam_host'`` (tested).
+
+        ``tower_frame_labels`` (the frozen tower's per-frame CTC posterior
+        argmax, cached by frozen_cache.py) is only consumed when
+        ``aux_frame_ce_weight > 0``; without it the auxiliary term is
+        skipped (eval paths)."""
         a = self._align_core(frame_embs, frame_lengths, phn_pred_seq,
                              phn_seq_lengths, phn_seq_truncated,
-                             deterministic)
+                             deterministic,
+                             tower_frame_labels=tower_frame_labels)
         return self._train_out(a, tv_targets, deterministic)
 
     def _train_out(self, a, tv_targets, deterministic):
@@ -263,10 +296,33 @@ class ForceAPTAI(nn.Module):
             jnp.sum(tv_mask), 1.0
         )
         align_loss = forward_sum_loss(
-            a["att"], a["phn_seq_lengths"], frame_lengths
+            a["att"], a["phn_seq_lengths"], frame_lengths,
+            blank_logprob=self.blank_logprob,
+            off_diag_prior=self.off_diag_prior, prior_g=self.prior_g,
         )
         w = 0.4  # reference force_aptai.py:144
         loss = w * tv_loss + (1 - w) * align_loss
+
+        # optional distillation of the frozen tower's own per-frame CTC
+        # posterior argmax into the alignment (aux_frame_ce_weight field
+        # docstring): attention mass on decoded-sequence positions holding
+        # the tower's phone, -log'd, averaged over frames where the tower
+        # is confident in a NON-blank phone within the utterance length.
+        aux_ce = jnp.zeros((), jnp.float32)
+        if self.aux_frame_ce_weight > 0 and a.get(
+                "tower_frame_labels") is not None:
+            tl = a["tower_frame_labels"][:, :t]
+            att_prob = jnp.exp(a["att"])  # (B, T, N), rows sum to 1
+            match = (a["phn_pred_seq"][:, None, :]
+                     == tl[:, :, None])  # (B, T, N)
+            p_match = jnp.sum(att_prob * match, axis=-1)
+            in_len = (jnp.arange(t)[None, :]
+                      < frame_lengths[:, None])
+            valid = (tl != 0) & in_len  # blank/pad id 0 excluded
+            ce = -jnp.log(jnp.maximum(p_match, 1e-8))
+            aux_ce = jnp.sum(jnp.where(valid, ce, 0.0)) / jnp.maximum(
+                jnp.sum(valid), 1)
+            loss = loss + self.aux_frame_ce_weight * aux_ce
 
         # frame-wise phoneme prediction: argmax over the alignment, mapped
         # through the decoded sequence (force_aptai.py:147-161), on device.
@@ -278,6 +334,7 @@ class ForceAPTAI(nn.Module):
             "loss": loss,
             "tv_loss": tv_loss,
             "align_loss": align_loss,
+            "aux_ce": aux_ce,
             "tvs_pred": tvs_out,
             "pred_frame_phns": pred_frame_phns,
             "pred_ctc_phn_seq": a["phn_pred_seq"],

@@ -25,11 +25,54 @@ import jax.numpy as jnp
 from aptai_tpu.ops.ctc import LOG_EPSILON, ctc_forward_score
 
 
+def off_diag_prior_logprobs(
+    t_mel: int,
+    n_text: int,
+    text_lengths: jnp.ndarray,
+    mel_lengths: jnp.ndarray,
+    g: float = 0.2,
+) -> jnp.ndarray:
+    """Off-diagonal Gaussian alignment prior, batched over padded shapes.
+
+    Numerical contract (reference models/modules.py:108,119-126,
+    ``ForwardSumLoss.off_diagonal_prior`` — shipped disabled there, the
+    reference-sanctioned lever against ForwardSum silence/diagonal
+    collapse): per item with ``N = text_len + 1`` columns (blank included)
+    and ``T = mel_len`` rows,
+
+        ``W[t, n] = exp(-(n/N - t/T)^2 / (2 g^2))``,
+
+    returned as ``log_softmax(W)`` over the text dimension.  The reference
+    computes it on the per-item sliced ``[T_i, N_i]`` matrix; here the
+    normalization runs on the padded ``(B, T_mel, N_text+1)`` grid with
+    invalid columns masked to ``LOG_EPSILON`` — identical values on the
+    valid region (softmax over exactly the valid columns), one fused
+    device program instead of a per-item host loop.
+
+    Returns ``(B, T_mel, N_text + 1)`` log-prior to ADD to the attention
+    scores before the loss's own re-normalization.
+    """
+    text_lengths = text_lengths.astype(jnp.float32)
+    mel_lengths = mel_lengths.astype(jnp.float32)
+    n_cols = jnp.arange(n_text + 1, dtype=jnp.float32)  # includes blank col
+    t_rows = jnp.arange(t_mel, dtype=jnp.float32)
+    # per-item normalized coordinates: n/N with N = text_len+1, t/T
+    n_norm = n_cols[None, None, :] / (text_lengths + 1.0)[:, None, None]
+    t_norm = t_rows[None, :, None] / jnp.maximum(mel_lengths, 1.0)[:, None, None]
+    w = jnp.exp(-((n_norm - t_norm) ** 2) / (2.0 * g * g))
+    col_valid = (jnp.arange(n_text + 1)[None, None, :]
+                 <= text_lengths[:, None, None])
+    w = jnp.where(col_valid, w, LOG_EPSILON)
+    return jax.nn.log_softmax(w, axis=-1)
+
+
 def forward_sum_loss(
     attn_logprob: jnp.ndarray,
     text_lengths: jnp.ndarray,
     mel_lengths: jnp.ndarray,
     blank_logprob: float = -1.0,
+    off_diag_prior: bool = False,
+    prior_g: float = 0.2,
 ) -> jnp.ndarray:
     """Forward-sum alignment loss.
 
@@ -41,6 +84,11 @@ def forward_sum_loss(
       mel_lengths: ``(B,)`` frame-sequence lengths.
       blank_logprob: score of the inserted blank column (reference
         models/modules.py:70: −1).
+      off_diag_prior: add the reference's (disabled-by-default) Gaussian
+        band prior to the scores before normalization — the
+        one-TTS-alignment remedy for diagonal/silence collapse
+        (reference models/modules.py:108,119-126).
+      prior_g: Gaussian width of the prior (reference default g=0.2).
 
     Returns:
       Scalar loss (batch mean).
@@ -55,6 +103,11 @@ def forward_sum_loss(
         ((0, 0), (0, 0), (1, 0)),
         constant_values=blank_logprob,
     )  # (B, T, N+1)
+
+    if off_diag_prior:
+        scores = scores + off_diag_prior_logprobs(
+            t_mel, n_text, text_lengths, mel_lengths, g=prior_g
+        )
 
     # 2. restrict normalization to the first text_len+1 columns, exactly as the
     # reference's slice-then-log_softmax (modules.py:106-109).

@@ -146,6 +146,11 @@ def build_force_model(cfg_train, vocab: Dict[str, int],
     model = ForceAPTAI(
         backbone, vocab_size=len(vocab),
         decode_method=getattr(cfg_train, "decode_method", "greedy"),
+        blank_logprob=getattr(cfg_train, "blank_logprob", -1.0),
+        off_diag_prior=getattr(cfg_train, "off_diag_prior", False),
+        prior_g=getattr(cfg_train, "prior_g", 0.2),
+        energy_temperature=getattr(cfg_train, "energy_temperature", 1.0),
+        aux_frame_ce_weight=getattr(cfg_train, "aux_frame_ce", 0.0),
     )
     audio = jnp.zeros((1, example_audio_len), jnp.float32)
     lengths = jnp.full((1,), example_audio_len, jnp.int32)
@@ -180,5 +185,16 @@ def build_force_model(cfg_train, vocab: Dict[str, int],
                  # recorded so infer.load_predictor rebuilds the exact
                  # forward (greedy vs split beam_host) from the checkpoint
                  "decode_method": getattr(cfg_train, "decode_method",
-                                          "greedy")}
+                                          "greedy"),
+                 # alignment knobs: energy_temperature changes the EMITTED
+                 # alignment (get_alignment), so the predictor must rebuild
+                 # with the training-time values; the loss-only knobs ride
+                 # along for provenance
+                 "blank_logprob": getattr(cfg_train, "blank_logprob", -1.0),
+                 "off_diag_prior": getattr(cfg_train, "off_diag_prior",
+                                           False),
+                 "prior_g": getattr(cfg_train, "prior_g", 0.2),
+                 "energy_temperature": getattr(cfg_train,
+                                               "energy_temperature", 1.0),
+                 "aux_frame_ce": getattr(cfg_train, "aux_frame_ce", 0.0)}
     return model, params, model_cfg

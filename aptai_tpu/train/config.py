@@ -216,6 +216,21 @@ class ForceAPTAIConfig(TrainConfig):
     collapse_per_threshold: float = 0.95
     collapse_patience: int = 3
     collapse_fallback: bool = False
+    # --- alignment-quality knobs (VERDICT r4 #1; defaults reference-exact) ---
+    # score of the ForwardSum blank column (reference modules.py:70: −1)
+    blank_logprob: float = -1.0
+    # off-diagonal Gaussian band prior on the alignment scores, the
+    # reference's own (shipped-disabled) remedy for ForwardSum
+    # silence/diagonal collapse (reference models/modules.py:108,119-126);
+    # --off_diag_prior turns it on, --prior_g sets the band width
+    off_diag_prior: bool = False
+    prior_g: float = 0.2
+    # temperature on the attention energies feeding the alignment
+    # log-softmax (<1 sharpens; 1.0 = reference-exact)
+    energy_temperature: float = 1.0
+    # weight of the auxiliary frame-CE distilling the frozen tower's
+    # per-frame CTC posterior argmax into the alignment (0 = off)
+    aux_frame_ce: float = 0.0
     # run the frozen tower (+ in-step decode) ONCE per utterance and train
     # the head from cached encodings (train/frozen_cache.py): the tower is
     # frozen and deterministic, so recomputing it every epoch — as the

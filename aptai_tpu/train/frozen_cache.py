@@ -35,6 +35,7 @@ import functools
 from typing import Dict, List, Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from aptai_tpu import (CTC_LABEL_PAD_ID, PHONEME_FRAME_PAD_ID,
@@ -54,7 +55,11 @@ def _cache_encode_fn(model):
     def fn(p, a, l):
         enc = model.apply({"params": p}, a, l, method="encode_frozen")
         out = {"frame_embs": enc["frame_embs"],
-               "frame_lengths": enc["frame_lengths"]}
+               "frame_lengths": enc["frame_lengths"],
+               # tower per-frame posterior argmax, cached for the optional
+               # aux frame-CE distillation (ForceAPTAI.aux_frame_ce_weight)
+               "tower_frame_labels": jnp.argmax(
+                   enc["ctc_log_probs"], axis=-1).astype(jnp.int32)}
         if method == "beam_host":
             out["ctc_log_probs"] = enc["ctc_log_probs"]
         elif method == "beam_device":
@@ -133,6 +138,7 @@ def _encode_items(loader, model, params, mesh) -> List[Dict]:
             sl = np.asarray(enc["phn_seq_lengths"])
             tr = np.asarray(enc["phn_seq_truncated"])
         embs = np.asarray(enc["frame_embs"])
+        tower_labels = np.asarray(enc["tower_frame_labels"])
         tvs = np.asarray(batch["tv_targets"])
         labels = np.asarray(batch["phoneme_labels"])
         fl_raw = np.asarray(batch.get("frame_lengths", fl))
@@ -152,6 +158,7 @@ def _encode_items(loader, model, params, mesh) -> List[Dict]:
                 "phn_pred_seq": seqs[b],
                 "phn_seq_length": int(sl[b]),
                 "phn_seq_truncated": int(tr[b]),
+                "tower_frame_labels": tower_labels[b, :t],
                 "tv_targets": tvs[b, :t],
                 "phn_frames": phn_frames[b, :t],
                 "phoneme_label": lab[lab != CTC_LABEL_PAD_ID],
@@ -178,6 +185,11 @@ def collate_encoded(items: Sequence[Dict], bucket: bool = True) -> Dict:
             [x["phn_seq_length"] for x in items], np.int32),
         "phn_seq_truncated": np.asarray(
             [x["phn_seq_truncated"] for x in items], np.int32),
+        # frozen-tower posterior argmax (0 = blank; zero-padded tail is
+        # excluded by the aux CE's blank mask either way)
+        "tower_frame_labels": np.stack(
+            [_pad_to(np.asarray(x["tower_frame_labels"], np.int32), f_w, 0)
+             for x in items]),
         "tv_targets": np.stack(
             [_pad_to(np.asarray(x["tv_targets"], np.float32), f_w,
                      TV_PAD_VALUE) for x in items]),

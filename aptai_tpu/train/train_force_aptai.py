@@ -63,6 +63,7 @@ def force_loss_fn(model, from_encoded: bool = False):
                 batch["enc_frame_lengths"], batch["phn_pred_seq"],
                 batch["phn_seq_lengths"], batch["phn_seq_truncated"],
                 batch["tv_targets"], deterministic=False, rngs=rngs,
+                tower_frame_labels=batch.get("tower_frame_labels"),
                 method="train_from_encoded",
             )
             return out["loss"], {"tv_loss": out["tv_loss"],
@@ -135,6 +136,8 @@ class BeamDecodedBatches:
                 phn_pred_seq=seqs,
                 phn_seq_lengths=lens,
                 phn_seq_truncated=trunc,
+                tower_frame_labels=np.argmax(
+                    np.asarray(enc["ctc_log_probs"]), -1).astype(np.int32),
             )
             yield out
 

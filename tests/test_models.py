@@ -471,3 +471,54 @@ def test_trainer_dtype_auto_resolves_by_backend():
     assert make_backbone_config(_Cfg(), 11).dtype == "float32"
     _Cfg.dtype = "bfloat16"
     assert make_backbone_config(_Cfg(), 11).dtype == "bfloat16"
+
+
+def test_force_aptai_alignment_knobs(audio_batch):
+    """The VERDICT-r4 alignment knobs (off-diag prior, blank_logprob,
+    energy temperature, aux frame-CE) are opt-in: defaults reproduce the
+    reference-exact forward; enabling them changes the loss, keeps
+    gradients sane, and leaves the frame-phoneme argmax path
+    temperature-invariant."""
+    audio, lengths = audio_batch
+    cfg = tiny_config()
+    tv = jnp.zeros((2, 200, 9))
+    base = ForceAPTAI(cfg, vocab_size=cfg.vocab_size)
+    variables = base.init(jax.random.PRNGKey(0), audio, lengths, tv)
+    out0 = base.apply(variables, audio, lengths, tv)
+    assert float(out0["aux_ce"]) == 0.0  # off by default
+
+    knobs = ForceAPTAI(cfg, vocab_size=cfg.vocab_size,
+                       off_diag_prior=True, blank_logprob=-2.0,
+                       energy_temperature=0.5, aux_frame_ce_weight=0.3)
+    out1 = knobs.apply(variables, audio, lengths, tv)
+    for k in ("loss", "tv_loss", "align_loss", "aux_ce"):
+        assert np.isfinite(float(out1[k])), k
+    assert float(out1["aux_ce"]) > 0.0
+    assert abs(float(out1["align_loss"]) - float(out0["align_loss"])) > 1e-4
+    # aux term is included in the total
+    expect = (0.4 * float(out1["tv_loss"])
+              + 0.6 * float(out1["align_loss"])
+              + 0.3 * float(out1["aux_ce"]))
+    assert abs(float(out1["loss"]) - expect) < 1e-4
+
+    # temperature alone must not move the frame-phoneme argmax
+    t_only = ForceAPTAI(cfg, vocab_size=cfg.vocab_size,
+                        energy_temperature=0.25)
+    a0 = base.apply(variables, audio, lengths, method="get_alignment")
+    a1 = t_only.apply(variables, audio, lengths, method="get_alignment")
+    np.testing.assert_array_equal(
+        np.argmax(np.asarray(a0["alignment"]), -1),
+        np.argmax(np.asarray(a1["alignment"]), -1))
+
+    # gradients flow through every knob; tower stays frozen
+    def loss_fn(params):
+        return knobs.apply({"params": params}, audio, lengths, tv)["loss"]
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    assert all(np.isfinite(np.asarray(g)).all()
+               for g in jax.tree_util.tree_leaves(grads))
+    assert all(float(jnp.sum(jnp.abs(g))) == 0
+               for g in jax.tree_util.tree_leaves(grads["w2v2_pr"]))
+    assert sum(float(jnp.sum(jnp.abs(g)))
+               for g in jax.tree_util.tree_leaves(
+                   {k: v for k, v in grads.items() if k != "w2v2_pr"})) > 0
