@@ -511,8 +511,18 @@ class Wav2Vec2Encoder(nn.Module):
         deterministic: bool = True,
         output_hidden_states: bool = False,
         layer_stack_fn=None,
+        time_mask: Optional[jnp.ndarray] = None,
     ):
-        """``layer_stack_fn`` (optional): a callable ``(h, frame_lengths) ->
+        """``time_mask`` (optional): an externally computed ``(B, T_frames)``
+        bool mask (True = masked) that REPLACES the internal SpecAugment
+        time-mask sampling — masked steps get the learned mask embedding
+        exactly as in training.  The self-supervised pretraining objective
+        (models/pretrain.py) computes its span mask outside the model so
+        the contrastive loss knows which positions were masked (the HF
+        pretraining collator does the same); requires
+        ``cfg.apply_spec_augment`` (the mask embedding's existence flag).
+
+        ``layer_stack_fn`` (optional): a callable ``(h, frame_lengths) ->
         h`` that REPLACES the built-in transformer-layer loop — the hook the
         pipeline-parallel executor uses (parallel/pipeline.py) to run the
         24-layer stack as a GPipe schedule over a ``pipe`` mesh axis while
@@ -553,13 +563,21 @@ class Wav2Vec2Encoder(nn.Module):
                 (cfg.hidden_size,),
                 jnp.float32,
             )
-        if cfg.apply_spec_augment and not deterministic and cfg.mask_time_prob > 0:
+        if time_mask is not None:
+            if not cfg.apply_spec_augment:
+                raise ValueError(
+                    "an external time_mask needs cfg.apply_spec_augment "
+                    "(the learned mask embedding)")
+            h = jnp.where((time_mask & frame_mask)[:, :, None],
+                          mask_emb.astype(h.dtype), h)
+        elif (cfg.apply_spec_augment and not deterministic
+                and cfg.mask_time_prob > 0):
             rng = self.make_rng("specaugment")
-            time_mask = _compute_time_mask(
+            sampled_mask = _compute_time_mask(
                 rng, b, t, frame_lengths, cfg.mask_time_prob,
                 cfg.mask_time_length, cfg.mask_time_min_masks
             ) & frame_mask
-            h = jnp.where(time_mask[:, :, None], mask_emb.astype(h.dtype), h)
+            h = jnp.where(sampled_mask[:, :, None], mask_emb.astype(h.dtype), h)
         if (cfg.apply_spec_augment and not deterministic
                 and cfg.mask_feature_prob > 0):
             # feature-dimension SpecAugment (HF `_mask_hidden_states`):

@@ -62,15 +62,65 @@ def _converted_encoder(checkpoint: str, num_layers: int) -> Dict:
     return convert_wav2vec2_encoder(sd, num_layers)
 
 
+def _graft_pretrained_encoder(target_encoder: Dict, path: str) -> Dict:
+    """Copy the ``encoder`` subtree of a checkpoint saved by THIS framework
+    (e.g. a ``train/pretrain.py`` run) into ``target_encoder`` leaf-by-leaf.
+
+    Grafting by flattened key (instead of a strict structure restore) lets
+    a pretraining tower (which carries ``masked_spec_embed``) land in a
+    fine-tune config with SpecAugment off, and vice versa — intersecting
+    leaves transfer, the rest keep their fresh init, and a mismatch summary
+    is printed so silent-miss bugs can't hide."""
+    from flax import serialization
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    file = Path(path)
+    if file.is_dir():
+        from aptai_tpu.infer.loader import resolve_checkpoint_dir
+
+        file = resolve_checkpoint_dir(file) / "params.msgpack"
+    raw = serialization.msgpack_restore(file.read_bytes())
+    src = raw.get("encoder", raw)  # full tree or already the subtree
+    flat_src = flatten_dict(src)
+    flat_dst = dict(flatten_dict(target_encoder))
+    hit = miss = 0
+    for k, v in flat_src.items():
+        if k in flat_dst:
+            if flat_dst[k].shape != np.shape(v):
+                raise ValueError(
+                    f"pretrained encoder leaf {'/'.join(k)} has shape "
+                    f"{np.shape(v)}, target expects {flat_dst[k].shape} — "
+                    "backbone configs differ")
+            flat_dst[k] = np.asarray(v)
+            hit += 1
+        else:
+            miss += 1
+    print(f"pretrained encoder graft from {file}: {hit} leaves spliced"
+          + (f", {miss} source-only leaves skipped" if miss else ""))
+    if hit == 0:
+        raise ValueError(f"no overlapping encoder leaves found in {file}")
+    return unflatten_dict(flat_dst)
+
+
 def _maybe_load_pretrained(params: Dict, checkpoint: Optional[str],
                            num_layers: int, scope: str) -> Dict:
-    """Splice converted HF torch weights into a freshly initialized tree."""
+    """Splice pretrained encoder weights into a freshly initialized tree.
+
+    ``checkpoint`` is either a torch ``.bin``/``.pt`` state dict (HF
+    wav2vec2 conversion — the reference's from_pretrained dependency,
+    models/w2v2_pr.py:28-33) or a checkpoint directory / ``params.msgpack``
+    produced by this framework's own self-supervised pretrainer
+    (train/pretrain.py) — the in-container replacement for that external
+    artifact."""
     if not checkpoint:
         return params
     params = dict(params)
-    params[scope] = jax.tree.map(
-        np.copy, _converted_encoder(checkpoint, num_layers)
-    )
+    if checkpoint.endswith((".bin", ".pt", ".pth")):
+        params[scope] = jax.tree.map(
+            np.copy, _converted_encoder(checkpoint, num_layers)
+        )
+    else:
+        params[scope] = _graft_pretrained_encoder(params[scope], checkpoint)
     return params
 
 
