@@ -999,9 +999,14 @@ def main(argv=None):
     # called programmatically after device use), the update would be
     # silently ineffective — warn instead of letting the per-utterance
     # remote-compile trap (module docstring) reappear unannounced.
-    from jax._src import xla_bridge as _xb
+    try:  # private API — absent/moved in some jax versions (ADVICE r4)
+        from jax._src import xla_bridge as _xb
 
-    if _xb.backends_are_initialized():
+        _backend_live = _xb.backends_are_initialized()
+    except Exception:
+        _backend_live = False  # best-effort: fall through to the update
+
+    if _backend_live:
         live = jax.default_backend()
         if live != args.platform:
             print(

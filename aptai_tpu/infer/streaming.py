@@ -92,6 +92,14 @@ class StreamingPredictor:
         # transfers.  Off by default (on fast host links the extra
         # barrier fetches are pure overhead).
         self.upload_ahead = bool(upload_ahead)
+        if self.upload_ahead and mesh is not None:
+            # the barriers are only built on the window (mesh-less) path;
+            # silently accepting the flag here would make an A/B whose B
+            # arm changed nothing (ADVICE r4)
+            raise ValueError(
+                "upload_ahead only applies to the single-device window "
+                "path; the mesh path uploads the per-chunk stack through "
+                "shard_batch — drop upload_ahead or the mesh")
         self._upload_barrier = jax.jit(
             lambda w: jnp.sum(w.astype(jnp.int32)) if w.dtype in (
                 jnp.int16, jnp.uint8) else jnp.sum(w))

@@ -24,8 +24,10 @@ is excluded per the MFU convention; at the production shape it is <2% of
 the GEMM FLOPs.
 
 Training-step FLOPs follow the standard 3× rule (backward ≈ 2× forward
-matmul work) with no remat; ``remat_policy="full"`` re-runs the layer
-forwards, giving 4× (Kaplan et al. accounting; PaLM appendix B).
+matmul work) — ALWAYS, because the MFU convention excludes rematerialized
+recomputation.  The remat re-forward belongs to HFU accounting:
+``training_step_hfu_flops`` returns 4× under ``remat_policy="full"``
+(Kaplan et al.; PaLM appendix B distinguishes the two).
 
 Peak TFLOP/s per chip comes from a device-kind table
 (``device_peak_tflops``); unknown kinds return None and MFU is omitted
@@ -112,7 +114,24 @@ def pr_forward_flops(cfg: Wav2Vec2Config, samples: int,
 
 def training_step_flops(forward_flops: int,
                         remat_policy: str = "none") -> int:
-    """fwd+bwd FLOPs from forward FLOPs: 3x (no remat) or 4x (full)."""
+    """Model FLOPs of one fwd+bwd step: always 3× forward.
+
+    The MFU convention this module's numbers are defined under counts the
+    MODEL's useful work (1× forward + 2× backward) and excludes
+    rematerialized recomputation — so the multiplier does not depend on
+    ``remat_policy``.  For the hardware-utilization (HFU) figure that
+    *includes* the remat re-forward, use :func:`training_step_hfu_flops`.
+    (ADVICE r4: the old 4×-under-remat return inflated MFU-labelled
+    numbers; latent because bench.py runs remat "none".)"""
+    del remat_policy  # kept for call-site compatibility; MFU is remat-blind
+    return 3 * forward_flops
+
+
+def training_step_hfu_flops(forward_flops: int,
+                            remat_policy: str = "none") -> int:
+    """Hardware FLOPs of one fwd+bwd step: 4× forward under full remat
+    (the backward replays the forward), 3× otherwise — the HFU accounting
+    counterpart of :func:`training_step_flops`."""
     return (4 if remat_policy == "full" else 3) * forward_flops
 
 

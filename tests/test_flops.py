@@ -42,9 +42,14 @@ def test_encoder_layer_terms_closed_form():
 
 
 def test_training_step_flops_rules():
+    # MFU accounting is remat-blind (ADVICE r4): always 3x forward
     assert training_step_flops(100) == 300
-    assert training_step_flops(100, remat_policy="full") == 400
+    assert training_step_flops(100, remat_policy="full") == 300
     assert training_step_flops(100, remat_policy="none") == 300
+    # the remat re-forward belongs to the HFU figure
+    from aptai_tpu.utils.flops import training_step_hfu_flops
+    assert training_step_hfu_flops(100, remat_policy="full") == 400
+    assert training_step_hfu_flops(100, remat_policy="none") == 300
 
 
 def test_analytic_matches_xla_cost_analysis():
