@@ -80,6 +80,30 @@ class APTAI(nn.Module):
         hidden, frame_lengths, _ = self.encoder(
             audio_inputs, audio_lengths, deterministic=deterministic
         )
+        return self._train_out(hidden, frame_lengths, phn_frames,
+                               tv_targets, deterministic)
+
+    def train_from_features(
+        self,
+        fe_features: jnp.ndarray,       # (B, T, conv_dim) cached FE output
+        audio_lengths: jnp.ndarray,     # (B,) audio SAMPLES
+        phn_frames: jnp.ndarray,
+        tv_targets: jnp.ndarray,
+        deterministic: bool = True,
+    ):
+        """Training forward from cached conv-FE features (train/fe_cache.py)
+        — valid because the FE is frozen (reference models/aptai.py:39-40)
+        and SpecAugment/dropout all apply post-projection.  Numerically
+        identical to ``__call__`` on valid frames (tests/test_fe_cache.py)."""
+        hidden, frame_lengths, _ = self.encoder(
+            None, audio_lengths, deterministic=deterministic,
+            precomputed_features=fe_features,
+        )
+        return self._train_out(hidden, frame_lengths, phn_frames,
+                               tv_targets, deterministic)
+
+    def _train_out(self, hidden, frame_lengths, phn_frames, tv_targets,
+                   deterministic):
         # Reconcile the (static) target width with the encoder frame count:
         # bucket-padded audio can yield more frames than the target pad
         # width; the extra frames are padding and carry the mask sentinels.

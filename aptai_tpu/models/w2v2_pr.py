@@ -48,6 +48,28 @@ class W2V2PR(nn.Module):
         hidden, frame_lengths, _ = self.encoder(
             input_values, input_lengths, deterministic=deterministic
         )
+        return self._ctc_out(hidden, frame_lengths, phoneme_labels,
+                             deterministic)
+
+    def train_from_features(
+        self,
+        fe_features: jnp.ndarray,        # (B, T, conv_dim) cached FE output
+        input_lengths: jnp.ndarray,      # (B,) audio SAMPLES
+        phoneme_labels: jnp.ndarray,
+        deterministic: bool = True,
+    ):
+        """Training forward from cached conv-FE features (train/fe_cache.py;
+        valid under ``freeze_feature_encoder`` + no cropping — the FE output
+        is then constant per utterance).  Numerically identical to
+        ``__call__`` on valid frames (tests/test_fe_cache.py)."""
+        hidden, frame_lengths, _ = self.encoder(
+            None, input_lengths, deterministic=deterministic,
+            precomputed_features=fe_features,
+        )
+        return self._ctc_out(hidden, frame_lengths, phoneme_labels,
+                             deterministic)
+
+    def _ctc_out(self, hidden, frame_lengths, phoneme_labels, deterministic):
         hidden = self.final_dropout(hidden, deterministic=deterministic)
         logits = self.pr_head(hidden)
         log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)

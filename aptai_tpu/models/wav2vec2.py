@@ -512,8 +512,19 @@ class Wav2Vec2Encoder(nn.Module):
         output_hidden_states: bool = False,
         layer_stack_fn=None,
         time_mask: Optional[jnp.ndarray] = None,
+        precomputed_features: Optional[jnp.ndarray] = None,
     ):
-        """``time_mask`` (optional): an externally computed ``(B, T_frames)``
+        """``precomputed_features`` (optional): a ``(B, T_frames, conv_dim)``
+        tensor REPLACING the conv feature-extractor forward — the hook for
+        the frozen-FE training cache (train/fe_cache.py): when the FE is
+        frozen (the reference's APTAI default, models/aptai.py:39-40) its
+        output depends only on the audio, so re-running it every step is
+        pure waste.  ``input_values`` may be None; ``input_lengths`` stays
+        in AUDIO samples (frame lengths derive from it as usual).  Valid
+        frames are bit-identical to the direct path (pad frames are zeroed
+        before the pos-conv either way; tests/test_fe_cache.py).
+
+        ``time_mask`` (optional): an externally computed ``(B, T_frames)``
         bool mask (True = masked) that REPLACES the internal SpecAugment
         time-mask sampling — masked steps get the learned mask embedding
         exactly as in training.  The self-supervised pretraining objective
@@ -532,11 +543,19 @@ class Wav2Vec2Encoder(nn.Module):
         with the full parameter tree — unused ``layers_*`` subtrees are
         fine — but note ``init`` through this path would not create them."""
         cfg = self.cfg
-        b, l = input_values.shape
-        if input_lengths is None:
-            input_lengths = jnp.full((b,), l, jnp.int32)
-
-        feats = FeatureExtractor(cfg, name="feature_extractor")(input_values)
+        if precomputed_features is not None:
+            if input_lengths is None:
+                raise ValueError(
+                    "precomputed_features needs input_lengths (audio "
+                    "samples) for the frame masks")
+            feats = precomputed_features.astype(_compute_dtype(cfg))
+            b = feats.shape[0]
+        else:
+            b, l = input_values.shape
+            if input_lengths is None:
+                input_lengths = jnp.full((b,), l, jnp.int32)
+            feats = FeatureExtractor(cfg, name="feature_extractor")(
+                input_values)
         if self.freeze_feature_encoder:
             # reference default for APTAI (models/aptai.py:39-40) and the
             # optional PR flag (train_phoneme_recognizer.py:354-355)

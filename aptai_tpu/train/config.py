@@ -172,6 +172,10 @@ class PRConfig(TrainConfig):
     # "greedy" is the cheapest loop (final test always beam-decodes
     # either way, preserving the reported-PER protocol).
     val_decode: str = "beam_device"
+    # train from cached frozen conv-FE features (train/fe_cache.py);
+    # effective only when --freeze_feature_extractor is set AND cropping
+    # is off (the cache needs constant per-utterance audio)
+    cache_frozen_fe: bool = True
 
 
 @dataclasses.dataclass
@@ -187,6 +191,12 @@ class APTAIConfig(TrainConfig):
     num_epochs: int = 20
     learning_rate: float = 1e-5
     batch_size: int = 5
+    # run the frozen conv feature extractor ONCE per utterance per fold and
+    # train from cached FE features (train/fe_cache.py): the FE is frozen
+    # by the reference's own default (models/aptai.py:39-40) and its
+    # forward is the step's HBM-bound term (~13%, PERF.md round-4
+    # roofline).  --no-cache_frozen_fe restores the per-step FE forward.
+    cache_frozen_fe: bool = True
 
 
 @dataclasses.dataclass

@@ -38,15 +38,29 @@ from aptai_tpu.utils.logging import RunLogger
 from aptai_tpu.train.metrics import aggregate_mean_std, dict_to_csv
 
 
-def aptai_loss_fn(model):
-    def loss_fn(params, batch, rngs):
-        out = model.apply(
-            {"params": params}, batch["audio"], batch["audio_lengths"],
-            batch["phn_frames"], batch["tv_targets"],
-            deterministic=False, rngs=rngs,
-        )
-        return out["loss"], {"mse_loss": out["mse_loss"],
-                             "ce_loss": out["ce_loss"]}
+def aptai_loss_fn(model, from_features: bool = False):
+    """``from_features``: the batch carries cached frozen conv-FE outputs
+    (train/fe_cache.py) instead of raw audio — identical numerics, minus
+    the per-step FE forward the reference re-runs on frozen weights."""
+    if from_features:
+        def loss_fn(params, batch, rngs):
+            out = model.apply(
+                {"params": params}, batch["fe_features"],
+                batch["audio_lengths"], batch["phn_frames"],
+                batch["tv_targets"], deterministic=False, rngs=rngs,
+                method="train_from_features",
+            )
+            return out["loss"], {"mse_loss": out["mse_loss"],
+                                 "ce_loss": out["ce_loss"]}
+    else:
+        def loss_fn(params, batch, rngs):
+            out = model.apply(
+                {"params": params}, batch["audio"], batch["audio_lengths"],
+                batch["phn_frames"], batch["tv_targets"],
+                deterministic=False, rngs=rngs,
+            )
+            return out["loss"], {"mse_loss": out["mse_loss"],
+                                 "ce_loss": out["ce_loss"]}
 
     return loss_fn
 
@@ -80,8 +94,21 @@ def run_speaker(cfg, hprc_df, vocab, test_spk, model, params, model_cfg,
         hprc_df, test_spk, cfg.train_val_rate, seed=cfg.seed
     )
     eval_bs = cfg.eval_batch_size or cfg.batch_size
-    train_dl = PrefetchLoader(
-        _loader(train_df, vocab, cfg.batch_size, True, cfg.seed))
+    if getattr(cfg, "cache_frozen_fe", False):
+        # the FE is frozen (reference models/aptai.py:39-40) and this
+        # fold's FE weights are fixed at init — encode the corpus once
+        from aptai_tpu.train.fe_cache import FECachedLoader
+
+        fe_dl = FECachedLoader(
+            _loader(train_df, vocab, cfg.batch_size, False),
+            model.cfg, params["encoder"]["feature_extractor"],
+            mesh=engine.mesh, seed=cfg.seed)
+        print(f"frozen-FE cache: {len(fe_dl.dataset)} utterances, "
+              f"{fe_dl.cache_bytes / 1e6:.1f} MB host")
+        train_dl = PrefetchLoader(fe_dl)
+    else:
+        train_dl = PrefetchLoader(
+            _loader(train_df, vocab, cfg.batch_size, True, cfg.seed))
     valid_dl = _loader(valid_df, vocab, eval_bs, False)
     test_n_dl = _loader(test_n_df, vocab, eval_bs, False)
     test_f_dl = _loader(test_f_df, vocab, eval_bs, False)
@@ -141,7 +168,9 @@ def run(cfg: APTAIConfig, tiny_backbone=None, speakers=None):
     model, params, model_cfg = build_aptai_model(cfg, vocab,
                                                  tiny=tiny_backbone)
     eval_fwd = make_eval_forward(model)
-    engine = make_engine(cfg, aptai_loss_fn(model))
+    engine = make_engine(
+        cfg, aptai_loss_fn(
+            model, from_features=getattr(cfg, "cache_frozen_fe", False)))
 
     per_speaker = []
     for fold, test_spk in enumerate(speakers):

@@ -58,13 +58,26 @@ def make_loaders(cfg, df, vocab):
     )
 
 
-def pr_loss_fn(model):
-    def loss_fn(params, batch, rngs):
-        out = model.apply(
-            {"params": params}, batch["audio"], batch["audio_lengths"],
-            batch["phoneme_labels"], deterministic=False, rngs=rngs,
-        )
-        return out["loss"], {}
+def pr_loss_fn(model, from_features: bool = False):
+    """``from_features``: batches carry cached frozen conv-FE outputs
+    (train/fe_cache.py; valid under --freeze_feature_extractor with
+    cropping off) instead of raw audio."""
+    if from_features:
+        def loss_fn(params, batch, rngs):
+            out = model.apply(
+                {"params": params}, batch["fe_features"],
+                batch["audio_lengths"], batch["phoneme_labels"],
+                deterministic=False, rngs=rngs,
+                method="train_from_features",
+            )
+            return out["loss"], {}
+    else:
+        def loss_fn(params, batch, rngs):
+            out = model.apply(
+                {"params": params}, batch["audio"], batch["audio_lengths"],
+                batch["phoneme_labels"], deterministic=False, rngs=rngs,
+            )
+            return out["loss"], {}
 
     return loss_fn
 
@@ -103,7 +116,21 @@ def run(cfg: PRConfig, tiny_backbone=None):
 
     model, params, model_cfg = build_pr_model(cfg, vocab, tiny=tiny_backbone)
     eval_fwd = make_eval_forward(model)
-    engine = make_engine(cfg, pr_loss_fn(model))
+    # FE cache precondition: frozen FE + constant per-utterance audio
+    use_fe_cache = (getattr(cfg, "cache_frozen_fe", False)
+                    and cfg.freeze_feature_extractor and not cfg.cropping)
+    engine = make_engine(cfg, pr_loss_fn(model, from_features=use_fe_cache))
+    if use_fe_cache:
+        from aptai_tpu.train.fe_cache import FECachedLoader
+
+        base = train_dl.loader if isinstance(train_dl, PrefetchLoader) \
+            else train_dl
+        fe_dl = FECachedLoader(base, model.cfg,
+                               params["encoder"]["feature_extractor"],
+                               mesh=engine.mesh, seed=cfg.seed)
+        print(f"frozen-FE cache: {len(fe_dl.dataset)} utterances, "
+              f"{fe_dl.cache_bytes / 1e6:.1f} MB host")
+        train_dl = PrefetchLoader(fe_dl)
 
     def validate(params_dev, epoch):
         return validate_pr(
