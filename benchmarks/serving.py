@@ -34,6 +34,11 @@ def main():
                          "lossless for 16-bit PCM sources; uint8_mulaw = "
                          "quarter, G.711 mu-law lossy)")
     ap.add_argument("--stream_reps", type=int, default=3)
+    ap.add_argument("--fetch_mode", default="pipelined",
+                    choices=("pipelined", "per_file"),
+                    help="streaming output drain: per-group worker-pool "
+                         "fetches, or device-side accumulation with ONE "
+                         "fetch per file (infer/streaming.py)")
     ap.add_argument("--upload_ahead", action="store_true",
                     help="streaming: force each window's upload one group "
                          "ahead of the compute fetches on a side thread "
@@ -305,7 +310,8 @@ def main():
                             overlap_seconds=2.0,
                             chunk_batch=args.chunk_batch,
                             transfer_dtype=args.transfer_dtype,
-                            upload_ahead=args.upload_ahead, **st_kw)
+                            upload_ahead=args.upload_ahead,
+                            fetch_mode=args.fetch_mode, **st_kw)
     samples = int(16000 * 60 * stream_minutes)
     wav = (rng.standard_normal(samples) * 0.1).astype(np.float32)
     _ = stream.predict(wav[: stream.chunk + stream.hop])  # compile
@@ -321,6 +327,7 @@ def main():
         "audio_minutes": stream_minutes,
         "chunk_batch": args.chunk_batch,
         "fetch_workers": args.fetch_workers,
+        "fetch_mode": args.fetch_mode,
         "transfer_dtype": args.transfer_dtype,
         "value": round(rtfs[len(rtfs) // 2], 2),
         "best": round(rtfs[-1], 2),

@@ -550,3 +550,37 @@ def test_mulaw_predictor_smoke_and_unknown_dtype_raises(models, rng):
     with pytest.raises(ValueError, match="transfer_dtype"):
         APTAIPredictor(aptai, ap,
                        transfer_dtype="int8").predict_batch([wav])
+
+
+def test_streaming_per_file_fetch_is_numerically_identical(models):
+    """fetch_mode='per_file' only changes HOW outputs leave the device
+    (one concatenated fetch instead of per-group fetches); stitched
+    outputs must equal the pipelined path bit-for-bit — including with a
+    partial last group (bucketed concat slices surplus rows away), a
+    chunk_batch > 1, and on the mesh path."""
+    (aptai, ap), _, _ = models
+    rng = np.random.default_rng(5)
+    wav = rng.standard_normal(16000 * 11).astype(np.float32) * 0.1
+    for kw in ({"chunk_batch": 1}, {"chunk_batch": 2}):
+        base = StreamingAPTAI(aptai, ap, chunk_seconds=3.0,
+                              overlap_seconds=1.0, **kw)
+        single = StreamingAPTAI(aptai, ap, chunk_seconds=3.0,
+                                overlap_seconds=1.0, fetch_mode="per_file",
+                                **kw)
+        a, b = base.predict(wav), single.predict(wav)
+        np.testing.assert_array_equal(a["phn_fc_pred"], b["phn_fc_pred"])
+        for k in a["tvs_pred"]:
+            np.testing.assert_array_equal(a["tvs_pred"][k],
+                                          b["tvs_pred"][k])
+
+    # mesh path: chunk-parallel across devices with the single drain
+    from aptai_tpu.parallel import make_mesh
+
+    mesh = make_mesh(data=4, model=1)
+    base_m = StreamingAPTAI(aptai, ap, chunk_seconds=3.0,
+                            overlap_seconds=1.0, mesh=mesh, chunk_batch=4)
+    single_m = StreamingAPTAI(aptai, ap, chunk_seconds=3.0,
+                              overlap_seconds=1.0, mesh=mesh, chunk_batch=4,
+                              fetch_mode="per_file")
+    a, b = base_m.predict(wav), single_m.predict(wav)
+    np.testing.assert_array_equal(a["phn_fc_pred"], b["phn_fc_pred"])
