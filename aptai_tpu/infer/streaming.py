@@ -366,7 +366,19 @@ class StreamingForceAPTAI(StreamingPredictor):
     """Streaming FORCE-APTAI: stitched TV trajectories + frame phonemes from
     the chunk-local forced alignment (the reference's get_faptai_output is
     batch-1 and ≤60 phonemes, models/force_aptai.py:238-322; the cap applies
-    per chunk here, so duration is unbounded)."""
+    per chunk here, so duration is unbounded).
+
+    QUALITY CAVEAT (measured, benchmarks/streaming_alignment_ab.py /
+    PERF.md round 4): the published FORCE training regime is 1–2.5 s
+    utterances with ≤60-token sequences and a 60-position positional
+    encoding (reference force_aptai.py:30, modules.py:218).  On 30–60 s
+    audio the *model* — streamed OR whole-utterance — degrades far outside
+    that regime (collapsed-seq PER ≈ 0.8–1.1 vs ground truth on synthetic
+    corpora); the chunk-locality deviation itself costs ≤4% of frames
+    (frame identity 0.9602 streamed vs whole).  For long recordings,
+    treat alignments as unreliable unless the head was trained on
+    comparable durations; the TV trajectories and the recognizer path
+    (StreamingW2V2PR / StreamingAPTAI) do not share this caveat."""
 
     frame_keys = ("tvs_pred", "pred_frame_phns")
 

@@ -80,6 +80,15 @@ def main():
                     help="stage C in-step CTC decode: the shipped greedy "
                          "default, or the on-device prefix beam (true "
                          "reference beam semantics in one XLA program)")
+    ap.add_argument("--off_diag_prior", action="store_true",
+                    help="stage C: enable the reference's (shipped-"
+                         "disabled) off-diagonal Gaussian alignment prior")
+    ap.add_argument("--prior_g", type=float, default=0.2)
+    ap.add_argument("--energy_temperature", type=float, default=1.0)
+    ap.add_argument("--blank_logprob", type=float, default=-1.0)
+    ap.add_argument("--aux_frame_ce", type=float, default=0.0,
+                    help="stage C: weight of the tower-posterior frame-CE "
+                         "distillation (0 = off)")
     ap.add_argument("--tiny", action="store_true",
                     help="CPU smoke mode: tiny backbone, 2 epochs")
     ap.add_argument("--work", default="/tmp/production_quality")
@@ -156,11 +165,20 @@ def main():
             num_static_epochs=args.static_force,
             batch_size=args.batch_size, learning_rate=args.lr,
             decode_method=args.force_decode_method,
+            off_diag_prior=args.off_diag_prior, prior_g=args.prior_g,
+            energy_temperature=args.energy_temperature,
+            blank_logprob=args.blank_logprob,
+            aux_frame_ce=args.aux_frame_ce,
             mesh_data=1,
         ).finalize("FORCE_APTAI")
         fmean, _, _ = train_force_aptai.run(cfg, tiny_backbone=tiny,
                                             speakers=[spk])
         report["force_decode_method"] = args.force_decode_method
+        report["alignment_knobs"] = {
+            "off_diag_prior": args.off_diag_prior, "prior_g": args.prior_g,
+            "energy_temperature": args.energy_temperature,
+            "blank_logprob": args.blank_logprob,
+            "aux_frame_ce": args.aux_frame_ce}
         report["force"] = {
             f"test_{r}_{k}": round(fmean[f"test_{r}_{k}"], 4)
             for r in ("N", "F") for k in keys}

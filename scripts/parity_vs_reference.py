@@ -326,11 +326,17 @@ def check_aptai(jax_cfg, enc_params, audio, lengths, rng, num_phonemes=11,
     }
 
 
-def check_force(jax_cfg, enc_params, audio, lengths, rng, vocab_size=11):
+def check_force(jax_cfg, enc_params, audio, lengths, rng, vocab_size=11,
+                model=None, params=None):
     """C3 parity: the FORCE head (cross-attention → ForwardSum + BiLSTM →
     FIR) fed identical frozen-tower embeddings + decoded sequences in both
     implementations (reference models/force_aptai.py:80-178,
-    modules.py:65-153,190-235)."""
+    modules.py:65-153,190-235).
+
+    With ``model``/``params`` supplied (a TRAINED checkpoint loaded via
+    infer.loader.load_model, f32 path), the same torch replica runs with
+    the trained weights — the trained-at-size FORCE *head* export cell
+    (VERDICT r4 missing #4); otherwise a fresh init + random PR head."""
     import jax
     import jax.numpy as jnp
     import torch
@@ -340,21 +346,27 @@ def check_force(jax_cfg, enc_params, audio, lengths, rng, vocab_size=11):
     from aptai_tpu.models.modules import sinusoidal_positional_encoding
     from aptai_tpu.ops.fir import lowpass_fir_taps
 
-    cfg = dataclasses.replace(jax_cfg, vocab_size=vocab_size)
-    model = ForceAPTAI(cfg, vocab_size=vocab_size)
-    t = int(cfg.feat_extract_output_lengths(np.asarray(audio.shape[1])))
-    tvs = rng.standard_normal((len(audio), t, 9)).astype(np.float32)
-    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(audio),
-                           jnp.asarray(lengths), jnp.asarray(tvs))
-    params = dict(variables["params"])
-    params["w2v2_pr"] = {
-        "encoder": enc_params,
-        "pr_head": {
-            "kernel": (rng.standard_normal(
-                (cfg.hidden_size, vocab_size)) * 0.3).astype(np.float32),
-            "bias": np.zeros((vocab_size,), np.float32),
-        },
-    }
+    t = None
+    if model is None:
+        cfg = dataclasses.replace(jax_cfg, vocab_size=vocab_size)
+        model = ForceAPTAI(cfg, vocab_size=vocab_size)
+        t = int(cfg.feat_extract_output_lengths(np.asarray(audio.shape[1])))
+        tvs = rng.standard_normal((len(audio), t, 9)).astype(np.float32)
+        variables = model.init(jax.random.PRNGKey(0), jnp.asarray(audio),
+                               jnp.asarray(lengths), jnp.asarray(tvs))
+        params = dict(variables["params"])
+        params["w2v2_pr"] = {
+            "encoder": enc_params,
+            "pr_head": {
+                "kernel": (rng.standard_normal(
+                    (cfg.hidden_size, vocab_size)) * 0.3).astype(np.float32),
+                "bias": np.zeros((vocab_size,), np.float32),
+            },
+        }
+    else:
+        cfg = model.pr_cfg
+        t = int(cfg.feat_extract_output_lengths(np.asarray(audio.shape[1])))
+        tvs = rng.standard_normal((len(audio), t, 9)).astype(np.float32)
 
     want = model.apply({"params": params}, jnp.asarray(audio),
                        jnp.asarray(lengths), jnp.asarray(tvs))
@@ -409,6 +421,13 @@ def check_force(jax_cfg, enc_params, audio, lengths, rng, vocab_size=11):
         energy = torch.einsum("bta,bna->btn", q, k)
         mask = (seq_t != 0).float()
         energy_m = energy + (1 - mask[:, None, :]) * -1000.0
+        if model.energy_temperature != 1.0:
+            # mirror the model's alignment-path temperature (the att_out
+            # path keeps the unscaled CrossAttention softmax, as in jax)
+            energy_lsm_in = energy / model.energy_temperature \
+                + (1 - mask[:, None, :]) * -1000.0
+        else:
+            energy_lsm_in = energy_m
         att = torch.softmax(energy_m, dim=-1)
         att_out = torch.cat([torch.einsum("btn,bna->bta", att, k), q], -1)
         att_out = torch.nn.functional.layer_norm(
@@ -422,14 +441,24 @@ def check_force(jax_cfg, enc_params, audio, lengths, rng, vocab_size=11):
             out_p, batch_first=True, total_length=att_out.shape[1])
         tv_out = torch.tanh(out @ l0_w + l0_b) @ l1_w + l1_b
         tv_out = torch_lowpass(tv_out, fir).numpy()
-        # ForwardSum (reference modules.py:65-126): blank −1 column, CTC
-        att_lsm = torch.log_softmax(energy_m, dim=-1)
+        # ForwardSum (reference modules.py:65-126): blank column at the
+        # model's blank_logprob, optional off-diagonal Gaussian prior
+        # (modules.py:119-126), CTC over the monotonic target
+        att_lsm = torch.log_softmax(energy_lsm_in, dim=-1)
         losses = []
         for i in range(len(audio)):
             tl = int(seq_lens[i])
             ml = int(frame_lengths[i])
             lp = att_lsm[i, :ml, : tl]
-            lp = torch.cat([torch.full((ml, 1), -1.0), lp], dim=1)
+            lp = torch.cat(
+                [torch.full((ml, 1), float(model.blank_logprob)), lp],
+                dim=1)
+            if model.off_diag_prior:
+                N, T, g_p = tl + 1, ml, model.prior_g
+                n_i = torch.arange(N)[None, :].repeat(T, 1)
+                t_i = torch.arange(T)[:, None].repeat(1, N)
+                W = torch.exp(-((n_i / N - t_i / T) ** 2) / (2 * g_p**2))
+                lp = lp + torch.log_softmax(W, dim=-1)
             lp = torch.log_softmax(lp, dim=1)
             target = torch.arange(1, tl + 1)[None]
             losses.append(torch.nn.functional.ctc_loss(
@@ -545,8 +574,20 @@ def run(args) -> dict:
     verdict["aptai"] = check_aptai(aptai_cfg, enc_params, audio, lengths,
                                    rng, aptai_params=aptai_params)
     verdict["force"] = check_force(jax_cfg, enc_params, audio, lengths, rng)
+    if getattr(args, "force_exp_dir", None):
+        from aptai_tpu.infer.loader import load_model
+
+        kind, fm, force_params, _ = load_model(args.force_exp_dir,
+                                               dtype="float32")
+        if kind != "force_aptai":
+            raise SystemExit(f"--force_exp_dir holds a {kind!r} checkpoint")
+        verdict["mode"] += "+trained_force_ckpt"
+        verdict["force_trained"] = check_force(
+            fm.pr_cfg, None, audio, lengths, rng, model=fm,
+            params=force_params)
     verdict["overall_pass"] = bool(all(
-        verdict[k]["pass"] for k in ("w2v2_pr", "aptai", "force")))
+        verdict[k]["pass"] for k in ("w2v2_pr", "aptai", "force")
+        + (("force_trained",) if "force_trained" in verdict else ())))
     return verdict
 
 
@@ -585,6 +626,11 @@ def main(argv=None):
     ap.add_argument("--train_pr_epochs", type=int, default=0,
                     help="train a tiny synthetic-corpus PR first and "
                          "round-trip it (offline self-check)")
+    ap.add_argument("--force_exp_dir", default=None,
+                    help="trained FORCE-APTAI run dir (e.g. a stage-C "
+                         "best-model-ckpt-<spk>): round-trips the TRAINED "
+                         "head (xatt/PE/BiLSTM/FIR + ForwardSum with the "
+                         "run's alignment knobs) through the torch replica")
     ap.add_argument("--aptai_exp_dir", default=None,
                     help="an aptai_tpu train_aptai run/checkpoint dir: "
                          "export its TRAINED encoder + heads to torch and "
