@@ -69,17 +69,23 @@ def backbone_from_dict(d: Dict) -> Wav2Vec2Config:
 
 
 def load_model(path, dtype: Optional[str] = None,
+               quant: Optional[str] = None,
                ) -> Tuple[str, object, Dict, Dict[str, int]]:
     """Rebuild (kind, model, params, vocab) from a checkpoint directory.
 
     ``dtype`` overrides the compute dtype recorded at training time (e.g.
     load a bf16-trained checkpoint for f32 CPU inference — parameters are
-    stored full-precision either way, checkpoints.py)."""
+    stored full-precision either way, checkpoints.py).  ``quant`` turns on
+    the dynamic W8A8 int8 inference GEMMs ("w8a8_ffn" / "w8a8" — the param
+    tree is quant-invariant, so any checkpoint serves quantized;
+    ops/quant.py documents the deviation contract)."""
     ckpt_dir = resolve_checkpoint_dir(path)
     cfg = _find_model_cfg(ckpt_dir)
     backbone = backbone_from_dict(cfg["backbone"])
     if dtype is not None:
         backbone = dataclasses.replace(backbone, dtype=dtype)
+    if quant is not None:
+        backbone = dataclasses.replace(backbone, quant=quant)
     vocab = cfg["vocab"]
     kind = cfg["kind"]
 
@@ -121,13 +127,14 @@ def load_model(path, dtype: Optional[str] = None,
 
 
 def load_predictor(path, mesh=None, transfer_dtype: str = "float32",
-                   dtype: Optional[str] = None):
+                   dtype: Optional[str] = None,
+                   quant: Optional[str] = None):
     """One call from a trainer checkpoint directory to the matching live
     predictor (APTAIPredictor / ForceAPTAIPredictor / W2V2PRPredictor).
 
     ``mesh`` / ``transfer_dtype`` forward to the predictor (multi-chip
     serving and int16 audio upload — infer/api.py)."""
-    kind, model, params, vocab = load_model(path, dtype=dtype)
+    kind, model, params, vocab = load_model(path, dtype=dtype, quant=quant)
     if kind == "w2v2_pr":
         return W2V2PRPredictor(model, params, vocab, mesh=mesh,
                                transfer_dtype=transfer_dtype)

@@ -630,6 +630,7 @@ def build_app_from_bundle(bundle_dir, max_wait_ms: float = 10.0,
 def build_app(checkpoint: str, fields: Optional[Sequence[str]] = None,
               max_batch_size: int = 16, max_wait_ms: float = 10.0,
               transfer_dtype: str = "float32", dtype: Optional[str] = None,
+              quant: Optional[str] = None,
               fetch_workers: int = 4, request_timeout_s: float = 60.0,
               max_seconds: float = 600.0, warmup: bool = True,
               warmup_seconds: float = 10.0, streaming: bool = True,
@@ -653,7 +654,8 @@ def build_app(checkpoint: str, fields: Optional[Sequence[str]] = None,
             fetch_workers=fetch_workers,
             request_timeout_s=request_timeout_s, warmup=warmup)
 
-    kind, model, params, vocab = load_model(checkpoint, dtype=dtype)
+    kind, model, params, vocab = load_model(checkpoint, dtype=dtype,
+                                            quant=quant)
     if kind == "w2v2_pr":
         pred = W2V2PRPredictor(model, params, vocab,
                                transfer_dtype=transfer_dtype)
@@ -716,6 +718,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="host->device audio upload encoding (PERF.md r3)")
     p.add_argument("--dtype", default=None,
                    help="compute dtype override (e.g. bfloat16)")
+    p.add_argument("--quant", default=None,
+                   choices=("w8a8_ffn", "w8a8"),
+                   help="serve with dynamic int8 W8A8 GEMMs (FFN-only or "
+                        "all projections); any checkpoint works — the "
+                        "param tree is quant-invariant (ops/quant.py)")
     p.add_argument("--fetch_workers", type=int, default=4)
     p.add_argument("--timeout_s", type=float, default=60.0)
     p.add_argument("--max_seconds", type=float, default=600.0,
@@ -748,7 +755,7 @@ def bundle_ignored_flags(args, parser) -> list:
     """Flags that are baked into an AOT bundle at export time: silently
     accepting a non-default value would serve something other than what
     was asked, so :func:`main` warns with this list."""
-    baked = ("fields", "transfer_dtype", "dtype", "max_batch_size",
+    baked = ("fields", "transfer_dtype", "dtype", "quant", "max_batch_size",
              "max_seconds", "warmup_seconds", "chunk_seconds",
              "overlap_seconds", "chunk_batch", "max_stream_seconds")
     return [f"--{n}" for n in baked
@@ -778,6 +785,7 @@ def main(argv=None) -> int:
         fields=[f for f in args.fields.split(",") if f] or None,
         max_batch_size=args.max_batch_size, max_wait_ms=args.max_wait_ms,
         transfer_dtype=args.transfer_dtype, dtype=args.dtype,
+        quant=args.quant,
         fetch_workers=args.fetch_workers, request_timeout_s=args.timeout_s,
         max_seconds=args.max_seconds, warmup_seconds=args.warmup_seconds,
         streaming=not args.no_streaming, chunk_seconds=args.chunk_seconds,

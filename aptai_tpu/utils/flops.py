@@ -52,6 +52,14 @@ _PEAK_TFLOPS_BF16 = {
     "TPU v2": 45.0,
 }
 
+# int8 matmul peaks (TOP/s): 2x bf16 on generations with int8 MXU modes;
+# v2/v3/v4 have no int8 speedup (int8 runs through the bf16 path)
+_PEAK_TOPS_INT8 = {
+    "TPU v6": 1836.0,
+    "TPU v5 lite": 394.0,
+    "TPU v5": 918.0,
+}
+
 
 def conv_fe_flops(cfg: Wav2Vec2Config, samples: int) -> int:
     """Forward FLOPs of the 7-conv feature extractor for one utterance."""
@@ -149,6 +157,22 @@ def device_peak_tflops(device=None) -> Optional[float]:
     # longest-prefix match so "TPU v5 lite" beats "TPU v5"
     best = None
     for prefix, peak in _PEAK_TFLOPS_BF16.items():
+        if kind.startswith(prefix) and (best is None or
+                                        len(prefix) > len(best[0])):
+            best = (prefix, peak)
+    return best[1] if best else None
+
+
+def device_peak_int8_tops(device=None) -> Optional[float]:
+    """int8 peak matmul TOP/s for a jax device (None = devices()[0]);
+    None for generations without an int8 MXU mode or unknown kinds."""
+    if device is None:
+        import jax
+
+        device = jax.devices()[0]
+    kind = getattr(device, "device_kind", "") or ""
+    best = None
+    for prefix, peak in _PEAK_TOPS_INT8.items():
         if kind.startswith(prefix) and (best is None or
                                         len(prefix) > len(best[0])):
             best = (prefix, peak)

@@ -584,3 +584,28 @@ def test_streaming_per_file_fetch_is_numerically_identical(models):
                               fetch_mode="per_file")
     a, b = base_m.predict(wav), single_m.predict(wav)
     np.testing.assert_array_equal(a["phn_fc_pred"], b["phn_fc_pred"])
+
+
+def test_load_model_quant_override(models, tmp_path):
+    """load_model(quant=...) turns on the int8 GEMM path on any saved
+    checkpoint (the param tree is quant-invariant) — the serving-side
+    entry for W8A8 (aptai-serve --quant)."""
+    (aptai, ap), _, _ = models
+    from aptai_tpu.train.checkpoints import save_json, save_pytree
+    from aptai_tpu.infer.loader import load_model
+    import dataclasses as dc
+
+    d = tmp_path / "best-model-ckpt"
+    save_pytree(d / "params.msgpack", ap)
+    save_json(d / "model_cfg.json",
+              {"backbone": dc.asdict(aptai.cfg),
+               "vocab": {f"p{i}": i for i in range(11)},
+               "kind": "aptai"})
+    import jax.numpy as jnp
+
+    kind, m, params, _ = load_model(tmp_path, quant="w8a8_ffn")
+    assert m.cfg.quant == "w8a8_ffn"
+    wav = np.zeros((1, 3200), np.float32)
+    out = m.apply({"params": params}, jnp.asarray(wav),
+                  jnp.asarray([3200], np.int32), method="predict")
+    assert np.isfinite(np.asarray(out["tvs_pred"])).all()
