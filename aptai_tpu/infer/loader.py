@@ -116,6 +116,7 @@ def load_model(path, dtype: Optional[str] = None,
                 prior_g=cfg.get("prior_g", 0.2),
                 energy_temperature=cfg.get("energy_temperature", 1.0),
                 aux_frame_ce_weight=cfg.get("aux_frame_ce", 0.0),
+                frame_hidden_layer=cfg.get("frame_hidden_layer", -1),
             )
             example = model.init(key, audio, lengths,
                                  jnp.zeros((1, 200, 9)))["params"]

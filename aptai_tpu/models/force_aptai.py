@@ -112,6 +112,14 @@ class ForceAPTAI(nn.Module):
     # mass landing on positions of the decoded sequence holding that phone.
     # 0.0 = off (reference has no counterpart; pure opt-in).
     aux_frame_ce_weight: float = 0.0
+    # which tower hidden state feeds the frame path (HF indexing; −1 = the
+    # final LayerNorm output — the reference's get_embeddings choice,
+    # w2v2_pr.py:124-167).  A from-scratch CTC-trained tower warps its LAST
+    # layers toward emission timing (early-compressed posteriors; round-5
+    # diagnosis, PERF.md) while earlier layers stay acoustically local —
+    # pick the layer the frame_probe sweep says holds per-frame identity.
+    # The CTC logits (in-step decode) always come from the final layer.
+    frame_hidden_layer: int = -1
     # in-step CTC decode: "greedy" = batched on-device collapse (the
     # TPU-native default); "beam_device" = TRUE prefix beam search on device
     # (decode/device.py) — the reference's beam semantics with no host round
@@ -157,17 +165,30 @@ class ForceAPTAI(nn.Module):
         thread) → device-head: embedding an XLA host callback in the train
         step deadlocks against any other live Python thread (e.g. the
         PrefetchLoader producer — reproduced; see train_force_aptai.py)."""
-        pr_out = self.w2v2_pr.encode(
-            audio_inputs, audio_lengths, deterministic=True  # frozen ⇒ eval mode
-        )
-        logits = jax.lax.stop_gradient(pr_out["phoneme_logits"])
+        if self.frame_hidden_layer >= 0:
+            out = self.w2v2_pr.encode_layers(
+                audio_inputs, audio_lengths,
+                intermediate_hidden=self.frame_hidden_layer,
+                latter_hidden=self.frame_hidden_layer,
+                deterministic=True,
+            )
+            frame_embs = out["intermediate_hidden"]
+            logits = jax.lax.stop_gradient(out["phoneme_logits_last"])
+            frame_lengths = out["frame_lengths"]
+        else:
+            pr_out = self.w2v2_pr.encode(
+                audio_inputs, audio_lengths, deterministic=True  # frozen
+            )
+            frame_embs = pr_out["last_transf_hidden"]
+            logits = jax.lax.stop_gradient(pr_out["phoneme_logits"])
+            frame_lengths = pr_out["frame_lengths"]
         return {
-            "frame_embs": jax.lax.stop_gradient(pr_out["last_transf_hidden"]),
+            "frame_embs": jax.lax.stop_gradient(frame_embs),
             "ctc_log_probs": jax.nn.log_softmax(
                 logits.astype(jnp.float32), axis=-1
             ),
             "logits": logits,
-            "frame_lengths": pr_out["frame_lengths"],
+            "frame_lengths": frame_lengths,
         }
 
     def _align_core(self, frame_embs, frame_lengths, phn_pred_seq,

@@ -201,6 +201,7 @@ def build_force_model(cfg_train, vocab: Dict[str, int],
         prior_g=getattr(cfg_train, "prior_g", 0.2),
         energy_temperature=getattr(cfg_train, "energy_temperature", 1.0),
         aux_frame_ce_weight=getattr(cfg_train, "aux_frame_ce", 0.0),
+        frame_hidden_layer=getattr(cfg_train, "frame_hidden_layer", -1),
     )
     audio = jnp.zeros((1, example_audio_len), jnp.float32)
     lengths = jnp.full((1,), example_audio_len, jnp.int32)
@@ -246,5 +247,7 @@ def build_force_model(cfg_train, vocab: Dict[str, int],
                  "prior_g": getattr(cfg_train, "prior_g", 0.2),
                  "energy_temperature": getattr(cfg_train,
                                                "energy_temperature", 1.0),
-                 "aux_frame_ce": getattr(cfg_train, "aux_frame_ce", 0.0)}
+                 "aux_frame_ce": getattr(cfg_train, "aux_frame_ce", 0.0),
+                 "frame_hidden_layer": getattr(cfg_train,
+                                               "frame_hidden_layer", -1)}
     return model, params, model_cfg

@@ -241,6 +241,9 @@ class ForceAPTAIConfig(TrainConfig):
     # weight of the auxiliary frame-CE distilling the frozen tower's
     # per-frame CTC posterior argmax into the alignment (0 = off)
     aux_frame_ce: float = 0.0
+    # tower hidden state feeding the frame path (-1 = final layer, the
+    # reference-exact choice; see ForceAPTAI.frame_hidden_layer)
+    frame_hidden_layer: int = -1
     # run the frozen tower (+ in-step decode) ONCE per utterance and train
     # the head from cached encodings (train/frozen_cache.py): the tower is
     # frozen and deterministic, so recomputing it every epoch — as the

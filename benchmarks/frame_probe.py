@@ -40,6 +40,16 @@ def main():
     ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--lr", type=float, default=0.3)
     ap.add_argument("--batch_utts", type=int, default=8)
+    ap.add_argument("--layers", default="",
+                    help="comma list of hidden-state indices to probe in "
+                         "ONE encode pass (HF indexing: 0 = projection "
+                         "output, N = final LayerNorm output).  Empty = "
+                         "final only (the round-4 behavior).  The sweep "
+                         "asks WHERE the tower keeps per-frame identity: "
+                         "a from-scratch CTC tower warps its LAST layers "
+                         "toward emission timing (early-compressed "
+                         "posteriors), while earlier layers stay "
+                         "acoustically local (round-5 diagnosis).")
     args = ap.parse_args()
 
     from aptai_tpu.utils.jax_setup import enable_compilation_cache
@@ -58,77 +68,102 @@ def main():
     kind, model, params, vocab = load_model(args.pr_dir)
     assert kind == "w2v2_pr", kind
     v = len(vocab)
+    layer_list = ([int(x) for x in args.layers.split(",") if x != ""]
+                  or [-1])
 
     df = pd.read_csv(args.hprc_csv)
     held_out = str(df.speaker.iloc[0])
-    enc = jax.jit(lambda p, a, l: model.apply(
-        {"params": p}, a, l, method="encode"))
+    if layer_list == [-1]:
+        enc = jax.jit(lambda p, a, l: model.apply(
+            {"params": p}, a, l, method="encode"))
+
+        def hidden_for(out):
+            return {-1: np.asarray(out["last_transf_hidden"], np.float32)}
+    else:
+        def _enc_all(m, a, l):
+            h, fl, _, all_h = m.encoder(a, l, deterministic=True,
+                                        output_hidden_states=True)
+            return {"all_hidden": all_h, "frame_lengths": fl}
+
+        enc = jax.jit(lambda p, a, l: model.apply(
+            {"params": p}, a, l, method=_enc_all))
+
+        def hidden_for(out):
+            return {k: np.asarray(out["all_hidden"][k], np.float32)
+                    for k in layer_list}
 
     def collect(rows):
-        """Encode rows on device; return (frames, labels) host arrays."""
+        """Encode rows on device; per layer, (frames, labels) host arrays."""
         ds = HPRCDataset(rows, vocab, rate=args.rate)
         dl = BucketedLoader(ds, collate_fn=collate_tv,
                             batch_size=args.batch_utts, shuffle=False)
-        xs, ys = [], []
+        xs = {k: [] for k in layer_list}
+        ys = []
         for batch in dl:
             out = enc(params, jnp.asarray(batch["audio"]),
                       jnp.asarray(batch["audio_lengths"]))
-            h = np.asarray(out["last_transf_hidden"], np.float32)
+            hs = hidden_for(out)
             fl = np.asarray(out["frame_lengths"])
-            mask = batch.get("batch_pad_mask", np.ones(len(h), bool))
-            for b in range(len(h)):
+            mask = batch.get("batch_pad_mask",
+                             np.ones(len(fl), bool))
+            for b in range(len(fl)):
                 if not mask[b]:
                     continue
                 gt = np.asarray(batch["phn_frames"][b])
                 n = min(int(fl[b]), len(gt))
                 keep = gt[:n] != 0  # 0 = CE ignore pad
-                xs.append(h[b, :n][keep])
+                for k in layer_list:
+                    xs[k].append(hs[k][b, :n][keep])
                 ys.append(gt[:n][keep])
-        return np.concatenate(xs), np.concatenate(ys)
+        return ({k: np.concatenate(v_) for k, v_ in xs.items()},
+                np.concatenate(ys))
 
-    x_tr, y_tr = collect(df[df.speaker.astype(str) != held_out])
-    x_te, y_te = collect(df[df.speaker.astype(str) == held_out])
+    xs_tr, y_tr = collect(df[df.speaker.astype(str) != held_out])
+    xs_te, y_te = collect(df[df.speaker.astype(str) == held_out])
 
-    # linear softmax probe, full-batch-ish SGD on CPU jax
+    # linear softmax probe per layer, full-batch-ish SGD on CPU jax
+    majority = float((y_te != np.bincount(
+        y_tr, minlength=v).argmax()).mean())
     with jax.default_device(jax.devices("cpu")[0]):
-        w = jnp.zeros((x_tr.shape[1], v))
-        b = jnp.zeros((v,))
-        xt, yt = jnp.asarray(x_tr), jnp.asarray(y_tr)
+        for layer in layer_list:
+            x_tr, x_te = xs_tr[layer], xs_te[layer]
+            w = jnp.zeros((x_tr.shape[1], v))
+            b = jnp.zeros((v,))
+            xt, yt = jnp.asarray(x_tr), jnp.asarray(y_tr)
 
-        @jax.jit
-        def step(w, b, key):
-            idx = jax.random.choice(key, len(xt), (4096,))
-            xb, yb = xt[idx], yt[idx]
+            @jax.jit
+            def step(w, b, key, xt=xt, yt=yt):
+                idx = jax.random.choice(key, len(xt), (4096,))
+                xb, yb = xt[idx], yt[idx]
 
-            def loss(w, b):
-                logits = xb @ w + b
-                lp = jax.nn.log_softmax(logits)
-                return -jnp.mean(jnp.take_along_axis(
-                    lp, yb[:, None], axis=1))
+                def loss(w, b):
+                    logits = xb @ w + b
+                    lp = jax.nn.log_softmax(logits)
+                    return -jnp.mean(jnp.take_along_axis(
+                        lp, yb[:, None], axis=1))
 
-            l, (gw, gb) = jax.value_and_grad(loss, argnums=(0, 1))(w, b)
-            return w - args.lr * gw, b - args.lr * gb, l
+                l, (gw, gb) = jax.value_and_grad(loss, argnums=(0, 1))(w, b)
+                return w - args.lr * gw, b - args.lr * gb, l
 
-        key = jax.random.PRNGKey(0)
-        for i in range(args.steps):
-            key, k = jax.random.split(key)
-            w, b, l = step(w, b, k)
+            key = jax.random.PRNGKey(0)
+            for i in range(args.steps):
+                key, k = jax.random.split(key)
+                w, b, l = step(w, b, k)
 
-        def fer(x, y):
-            pred = np.asarray(jnp.argmax(jnp.asarray(x) @ w + b, -1))
-            return float((pred != y).mean())
+            def fer(x, y):
+                pred = np.asarray(jnp.argmax(jnp.asarray(x) @ w + b, -1))
+                return float((pred != y).mean())
 
-        majority = float((y_te != np.bincount(
-            y_tr, minlength=v).argmax()).mean())
-        print(json.dumps({
-            "held_out_speaker": held_out,
-            "train_frames": int(len(y_tr)),
-            "heldout_frames": int(len(y_te)),
-            "probe_train_FER": round(fer(x_tr, y_tr), 4),
-            "probe_heldout_FER": round(fer(x_te, y_te), 4),
-            "majority_class_FER": round(majority, 4),
-            "final_probe_loss": round(float(l), 4),
-        }))
+            print(json.dumps({
+                "held_out_speaker": held_out,
+                "hidden_layer": layer,
+                "train_frames": int(len(y_tr)),
+                "heldout_frames": int(len(y_te)),
+                "probe_train_FER": round(fer(x_tr, y_tr), 4),
+                "probe_heldout_FER": round(fer(x_te, y_te), 4),
+                "majority_class_FER": round(majority, 4),
+                "final_probe_loss": round(float(l), 4),
+            }), flush=True)
 
 
 if __name__ == "__main__":

@@ -86,6 +86,9 @@ def main():
     ap.add_argument("--prior_g", type=float, default=0.2)
     ap.add_argument("--energy_temperature", type=float, default=1.0)
     ap.add_argument("--blank_logprob", type=float, default=-1.0)
+    ap.add_argument("--frame_hidden_layer", type=int, default=-1,
+                    help="stage C: tower hidden state feeding the FORCE "
+                         "frame path (-1 = final, reference-exact)")
     ap.add_argument("--aux_frame_ce", type=float, default=0.0,
                     help="stage C: weight of the tower-posterior frame-CE "
                          "distillation (0 = off)")
@@ -169,6 +172,7 @@ def main():
             energy_temperature=args.energy_temperature,
             blank_logprob=args.blank_logprob,
             aux_frame_ce=args.aux_frame_ce,
+            frame_hidden_layer=args.frame_hidden_layer,
             mesh_data=1,
         ).finalize("FORCE_APTAI")
         fmean, _, _ = train_force_aptai.run(cfg, tiny_backbone=tiny,
@@ -178,7 +182,8 @@ def main():
             "off_diag_prior": args.off_diag_prior, "prior_g": args.prior_g,
             "energy_temperature": args.energy_temperature,
             "blank_logprob": args.blank_logprob,
-            "aux_frame_ce": args.aux_frame_ce}
+            "aux_frame_ce": args.aux_frame_ce,
+            "frame_hidden_layer": args.frame_hidden_layer}
         report["force"] = {
             f"test_{r}_{k}": round(fmean[f"test_{r}_{k}"], 4)
             for r in ("N", "F") for k in keys}

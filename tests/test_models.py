@@ -522,3 +522,27 @@ def test_force_aptai_alignment_knobs(audio_batch):
     assert sum(float(jnp.sum(jnp.abs(g)))
                for g in jax.tree_util.tree_leaves(
                    {k: v for k, v in grads.items() if k != "w2v2_pr"})) > 0
+
+
+def test_force_aptai_frame_hidden_layer(audio_batch):
+    """frame_hidden_layer feeds the FORCE frame path from an intermediate
+    tower layer (CTC decode stays on the final logits); -1 reproduces the
+    reference-exact last-hidden behavior."""
+    audio, lengths = audio_batch
+    cfg = tiny_config()
+    tv = jnp.zeros((2, 200, 9))
+    last = ForceAPTAI(cfg, vocab_size=cfg.vocab_size)
+    variables = last.init(jax.random.PRNGKey(0), audio, lengths, tv)
+    inter = ForceAPTAI(cfg, vocab_size=cfg.vocab_size, frame_hidden_layer=1)
+    out_last = last.apply(variables, audio, lengths, tv)
+    out_inter = inter.apply(variables, audio, lengths, tv)
+    # same decode (final logits), different frame path
+    np.testing.assert_array_equal(np.asarray(out_last["pred_ctc_phn_seq"]),
+                                  np.asarray(out_inter["pred_ctc_phn_seq"]))
+    assert abs(float(out_last["loss"]) - float(out_inter["loss"])) > 1e-6
+    assert np.isfinite(float(out_inter["loss"]))
+    # hidden_states index num_layers == final output: equals -1 exactly
+    same = ForceAPTAI(cfg, vocab_size=cfg.vocab_size,
+                      frame_hidden_layer=cfg.num_hidden_layers)
+    out_same = same.apply(variables, audio, lengths, tv)
+    assert abs(float(out_last["loss"]) - float(out_same["loss"])) < 1e-5
