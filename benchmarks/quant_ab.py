@@ -163,7 +163,8 @@ def _trained_quality(args):
             out = qmodel.apply({"params": p}, a, l, method="encode")
             return greedy_decode(out["phoneme_logits"],
                                  out["frame_lengths"], blank=0,
-                                 max_output_length=60)
+                                 max_output_length=60,
+                                 return_truncated=True)
 
         edits = total = 0
         seqs_all = []
